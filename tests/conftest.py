@@ -1,0 +1,55 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh (no TPU needed),
+and provide the reference-oracle binary fixture."""
+
+import os
+import subprocess
+import sys
+
+# Must be set before jax import anywhere in the test process.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+ORACLE_DIR = os.path.join(REPO, ".oracle")
+ORACLE_BIN = os.path.join(ORACLE_DIR, "darknet")
+
+sys.path.insert(0, REPO)
+
+
+def _build_oracle() -> str:
+    """Compile the reference (read-only mount) into .oracle/darknet as the golden
+    oracle. Objects/binary live under the repo; no reference sources are copied."""
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+    srcs = ["main.c", "additionally.c", "box.c", "yolov2_forward_network.c",
+            "yolov2_forward_network_quantized.c"]
+    objs = []
+    for s in srcs:
+        obj = os.path.join(ORACLE_DIR, s.replace(".c", ".o"))
+        objs.append(obj)
+        if not os.path.exists(obj):
+            subprocess.run(
+                ["gcc", "-O1", f"-I{REFERENCE}/src", "-c",
+                 os.path.join(REFERENCE, "src", s), "-o", obj],
+                check=True, capture_output=True)
+    subprocess.run(["gcc", "-O1"] + objs + ["-o", ORACLE_BIN, "-lm", "-pthread"],
+                   check=True, capture_output=True)
+    return ORACLE_BIN
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    """Path to the compiled reference binary (built once, cached)."""
+    if not os.path.exists(ORACLE_BIN):
+        _build_oracle()
+    return ORACLE_BIN
+
+
+@pytest.fixture(scope="session")
+def reference_bin():
+    return os.path.join(REFERENCE, "bin")

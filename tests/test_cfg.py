@@ -1,0 +1,105 @@
+"""cfg parser tests: dimension chaining, quantization-eligibility rules, layer counts
+for every shipped reference cfg."""
+
+import os
+
+import pytest
+
+from yolo2_light_tpu.cfg import (ConvSpec, MaxpoolSpec, ModelSpec, RegionSpec,
+                                 ReorgSpec, RouteSpec, ShortcutSpec, UpsampleSpec,
+                                 YoloSpec, parse_network_cfg)
+
+BIN = "/root/reference/bin"
+
+
+@pytest.mark.parametrize("cfg,nlayers,nconvs,heads", [
+    ("yolov3-tiny.cfg", 24, 13, [16, 23]),
+    ("yolov3.cfg", 107, 75, [82, 94, 106]),
+    ("yolov3-spp.cfg", 114, 76, [89, 101, 113]),
+    ("yolov2-voc.cfg", 32, 23, [31]),
+    ("tiny-yolo-voc.cfg", 16, 9, [15]),
+    ("tiny-yolo-obj_xnor.cfg", 16, 9, [15]),
+    ("yolov3-openimages.cfg", 107, 75, [82, 94, 106]),
+])
+def test_shipped_cfgs(cfg, nlayers, nconvs, heads):
+    spec = parse_network_cfg(os.path.join(BIN, cfg), batch=1)
+    assert spec.n == nlayers
+    assert len(spec.conv_layers()) == nconvs
+    assert spec.head_indices() == heads
+    # dims chain: every layer's input dims = previous layer's out dims
+    for prev, cur in zip(spec.layers, spec.layers[1:]):
+        if isinstance(cur, (RouteSpec,)):
+            continue
+        assert (cur.w, cur.h, cur.c) == (prev.out_w, prev.out_h, prev.out_c)
+
+
+def test_tiny_dims():
+    spec = parse_network_cfg(os.path.join(BIN, "yolov3-tiny.cfg"), batch=1)
+    l = spec.layers
+    # landmarks from the reference stderr table
+    assert (l[0].out_w, l[0].out_h, l[0].out_c) == (416, 416, 16)
+    assert (l[1].out_w, l[1].out_h, l[1].out_c) == (208, 208, 16)
+    # stride-1 maxpool keeps 13x13
+    assert isinstance(l[11], MaxpoolSpec) and l[11].stride == 1
+    assert (l[11].out_w, l[11].out_h) == (13, 13)
+    assert (l[20].out_c) == 384  # route 19,8 concat: 128 + 256
+    assert l[22].out_c == 255
+    assert isinstance(l[16], YoloSpec) and l[16].mask == (3, 4, 5)
+    assert isinstance(l[23], YoloSpec) and l[23].mask == (1, 2, 3)
+    assert l[16].anchors[:4] == (10, 14, 23, 27)
+    assert len(spec.net.input_calibration) == 14
+    assert abs(spec.net.input_calibration[0] - 15.7342) < 1e-4
+
+
+def test_yolov2_voc_region_and_reorg():
+    spec = parse_network_cfg(os.path.join(BIN, "yolov2-voc.cfg"), batch=1)
+    reorgs = [l for l in spec.layers if isinstance(l, ReorgSpec)]
+    assert len(reorgs) == 1
+    r = reorgs[0]
+    assert (r.w, r.h, r.c) == (26, 26, 64)
+    assert (r.out_w, r.out_h, r.out_c) == (13, 13, 256)
+    head = spec.layers[-1]
+    assert isinstance(head, RegionSpec)
+    assert head.classes == 20 and head.n == 5 and head.softmax
+    assert head.outputs == 13 * 13 * 5 * 25
+
+
+def test_yolov3_shortcuts():
+    spec = parse_network_cfg(os.path.join(BIN, "yolov3.cfg"), batch=1)
+    shorts = [l for l in spec.layers if isinstance(l, ShortcutSpec)]
+    assert len(shorts) == 23
+    for s in shorts:
+        frm = spec.layers[s.from_index]
+        assert (frm.out_w, frm.out_h, frm.out_c) == (s.out_w, s.out_h, s.out_c)
+
+
+def test_quantization_eligibility_rules():
+    spec = parse_network_cfg(os.path.join(BIN, "yolov3.cfg"), batch=1,
+                             quantized=True)
+    convs = {l.index: l for l in spec.conv_layers()}
+    # layer 0 never eligible
+    assert not convs[0].quantized
+    # 1x1 convs never eligible
+    for l in convs.values():
+        if l.size == 1:
+            assert not l.quantized
+    # stride>1 convs beyond index 1 never eligible
+    for l in convs.values():
+        if l.index > 1 and l.stride > 1:
+            assert not l.quantized
+    # first conv-before-yolo (layer 81 feeds yolo at 82 via linear conv at 81):
+    # the yolo-lookahead at conv 80 permanently disables everything after
+    first_head = spec.head_indices()[0]
+    for l in convs.values():
+        if l.index >= first_head - 2:
+            assert not l.quantized, f"conv {l.index} after yolo-lookahead"
+    # some early 3x3 stride-1 convs ARE eligible
+    assert any(l.quantized for l in convs.values())
+
+
+def test_xnor_flags():
+    spec = parse_network_cfg(os.path.join(BIN, "tiny-yolo-obj_xnor.cfg"), batch=1)
+    convs = spec.conv_layers()
+    xnors = [l for l in convs if l.xnor]
+    assert len(xnors) > 0
+    assert not convs[0].xnor  # first conv is dense in the shipped cfg

@@ -1,0 +1,75 @@
+"""End-to-end parity: our TPU framework vs the compiled reference binary, same cfg +
+same (randomly generated, round-tripped) weights + same PNG image.
+
+Covers: FP32 yolo pipeline, FP32 region/reorg/shortcut pipeline, INT8 quantized
+pipeline, XNOR bit pipeline.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from yolo2_light_tpu.cfg import parse_network_cfg
+from yolo2_light_tpu.weights import random_params, save_weights
+
+from .util_parity import (assert_detections_match, run_oracle_detect,
+                          run_ours_detect)
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+IMAGE = os.path.join(DATA, "dog160.png")
+ORACLE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".oracle")
+
+
+@pytest.fixture(scope="session")
+def names_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("names") / "mini.names"
+    p.write_text("aaa\nbbb\nccc\n")
+    return str(p)
+
+
+def _gen_weights(cfg, seed, tmpdir, scale=None):
+    spec = parse_network_cfg(cfg, batch=1)
+    params = random_params(spec, seed=seed, scale=scale)
+    path = os.path.join(tmpdir, f"w{os.path.basename(cfg)}.{seed}.weights")
+    save_weights(spec, params, path)
+    return path
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_fp32_yolo_pipeline(oracle, names_file, tmp_path, seed):
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    weights = _gen_weights(cfg, seed, str(tmp_path))
+    otext = run_oracle_detect(oracle, names_file, cfg, weights, IMAGE)
+    utext = run_ours_detect(["aaa", "bbb", "ccc"], cfg, weights, IMAGE)
+    assert_detections_match(otext, utext, context=f"fp32 yolo seed={seed}")
+
+
+@pytest.mark.parametrize("seed", [3])
+def test_fp32_region_pipeline(oracle, names_file, tmp_path, seed):
+    cfg = os.path.join(DATA, "mini-yolo2.cfg")
+    weights = _gen_weights(cfg, seed, str(tmp_path))
+    otext = run_oracle_detect(oracle, names_file, cfg, weights, IMAGE)
+    utext = run_ours_detect(["aaa", "bbb", "ccc"], cfg, weights, IMAGE)
+    assert_detections_match(otext, utext, context=f"fp32 region seed={seed}")
+
+
+@pytest.mark.parametrize("seed", [4])
+def test_int8_pipeline(oracle, names_file, tmp_path, seed):
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    weights = _gen_weights(cfg, seed, str(tmp_path))
+    otext = run_oracle_detect(oracle, names_file, cfg, weights, IMAGE,
+                              quantized=True)
+    utext = run_ours_detect(["aaa", "bbb", "ccc"], cfg, weights, IMAGE,
+                            quantized=True)
+    assert_detections_match(otext, utext, conf_tol=3, px_tol=4,
+                            context=f"int8 seed={seed}")
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_xnor_pipeline(oracle, names_file, tmp_path, seed):
+    cfg = os.path.join(DATA, "mini-xnor.cfg")
+    weights = _gen_weights(cfg, seed, str(tmp_path))
+    otext = run_oracle_detect(oracle, names_file, cfg, weights, IMAGE)
+    utext = run_ours_detect(["aaa", "bbb", "ccc"], cfg, weights, IMAGE)
+    assert_detections_match(otext, utext, context=f"xnor seed={seed}")

@@ -1,0 +1,80 @@
+"""Shared helpers for oracle-vs-framework end-to-end parity tests."""
+
+import os
+import re
+import subprocess
+
+import numpy as np
+
+DET_RE = re.compile(
+    r"^(.*?): (\d+)%\t\(left_x:\s*(-?\d+)\s+top_y:\s*(-?\d+)\s+width:\s*(-?\d+)"
+    r"\s+height:\s*(-?\d+)\)")
+
+
+def parse_detection_lines(text: str):
+    """Parse draw_detections_v3-format stdout into (name, conf%, l, t, w, h) tuples.
+    Secondary class lines (no box) are collected separately."""
+    boxes, extras = [], []
+    for line in text.splitlines():
+        m = DET_RE.match(line)
+        if m:
+            boxes.append((m.group(1), int(m.group(2)),
+                          int(m.group(3)), int(m.group(4)),
+                          int(m.group(5)), int(m.group(6))))
+        elif re.match(r"^\S.*: \d+%$", line):
+            name, pct = line.rsplit(": ", 1)
+            extras.append((name, int(pct[:-1])))
+    return boxes, extras
+
+
+def run_oracle_detect(oracle_bin, names_file, cfg, weights, image,
+                      thresh=0.24, quantized=False, timeout=600):
+    cmd = [oracle_bin, "detector", "test", names_file, cfg, weights, image,
+           "-thresh", str(thresh), "-dont_show"]
+    if quantized:
+        cmd.append("-quantized")
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout,
+                         cwd=os.path.dirname(oracle_bin))
+    assert res.returncode == 0, res.stderr[-2000:]
+    return res.stdout
+
+
+def run_ours_detect(names, cfg, weights, image, thresh=0.24, quantized=False):
+    from yolo2_light_tpu.apps.detect import build_predictor, detect_image
+    from yolo2_light_tpu.post import boxes as post
+    spec, pred = build_predictor(cfg, weights, quantized=quantized)
+    nms = 0.2 if quantized else 0.4
+    dets, im, _ = detect_image(pred, spec, image, thresh, nms, names)
+    return post.format_detections(dets, names, thresh, im.shape[1], im.shape[0])
+
+
+def assert_detections_match(oracle_text, ours_text, conf_tol=2, px_tol=3,
+                            max_unmatched_frac=0.02, context=""):
+    """Greedy-match detection tuples; every oracle det must find an ours det of the
+    same class with conf within ``conf_tol`` (%) and box coords within ``px_tol``."""
+    oracle_boxes, _ = parse_detection_lines(oracle_text)
+    ours_boxes, _ = parse_detection_lines(ours_text)
+    assert abs(len(oracle_boxes) - len(ours_boxes)) <= max(
+        2, int(max_unmatched_frac * max(1, len(oracle_boxes)))), (
+        f"{context}: count mismatch oracle={len(oracle_boxes)} "
+        f"ours={len(ours_boxes)}")
+    remaining = list(ours_boxes)
+    unmatched = []
+    for ob in oracle_boxes:
+        hit = None
+        for i, ub in enumerate(remaining):
+            if ub[0] != ob[0]:
+                continue
+            if abs(ub[1] - ob[1]) > conf_tol:
+                continue
+            if all(abs(ub[j] - ob[j]) <= px_tol for j in range(2, 6)):
+                hit = i
+                break
+        if hit is None:
+            unmatched.append(ob)
+        else:
+            remaining.pop(hit)
+    allowed = max(2, int(max_unmatched_frac * max(1, len(oracle_boxes))))
+    assert len(unmatched) <= allowed, (
+        f"{context}: {len(unmatched)}/{len(oracle_boxes)} oracle detections "
+        f"unmatched, e.g. {unmatched[:5]}")

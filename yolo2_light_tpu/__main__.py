@@ -1,0 +1,5 @@
+from .apps.cli import main
+
+import sys
+
+sys.exit(main())

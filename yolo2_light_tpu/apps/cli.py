@@ -1,0 +1,104 @@
+"""Command-line driver with the reference's interface
+(reference: main/run_detector, src/main.c:584-667).
+
+Usage mirrors the reference binary:
+
+    yolo2-light-tpu detector test  <names> <cfg> [weights] [image] [flags]
+    yolo2-light-tpu detector map   <datacfg> <cfg> [weights] [flags]
+    yolo2-light-tpu detector calibrate <datacfg> <cfg> [weights] [flags]
+    yolo2-light-tpu detector demo  <names> <cfg> [weights] [video] [flags]
+
+Flags: -thresh F (default .25 like the reference; the shipped scripts pass .24),
+-iou_thresh F, -quantized, -dont_show, -letterbox, -out_filename S, -save PATH,
+-int8_policy cpu|gpu, -batch N.
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def _find_flag(args, name):
+    if name in args:
+        args.remove(name)
+        return True
+    return False
+
+
+def _find_value(args, name, default, cast=str):
+    if name in args:
+        i = args.index(name)
+        val = args[i + 1]
+        del args[i:i + 2]
+        return cast(val)
+    return default
+
+
+def main(argv=None) -> int:
+    args = list(sys.argv[1:] if argv is None else argv)
+    if len(args) < 1:
+        print("usage: yolo2-light-tpu <function>", file=sys.stderr)
+        return 0
+    if args[0] != "detector":
+        print(f"Not an option: {args[0]}", file=sys.stderr)
+        return 1
+    args = args[1:]
+
+    dont_show = _find_flag(args, "-dont_show")
+    quantized = _find_flag(args, "-quantized")
+    letterbox = _find_flag(args, "-letterbox")
+    thresh = _find_value(args, "-thresh", 0.25, float)
+    iou_thresh = _find_value(args, "-iou_thresh", 0.5, float)
+    _find_value(args, "-prefix", None)
+    out_filename = _find_value(args, "-out_filename", None)
+    save_path = _find_value(args, "-save", "predictions")
+    int8_policy = _find_value(args, "-int8_policy", "cpu")
+    _find_value(args, "-i", 0, int)
+    input_calibration = _find_value(args, "-input_calibration", 0, int)
+
+    if len(args) < 2:
+        print("usage: yolo2-light-tpu detector [test/map/calibrate/demo] "
+              "[names/datacfg] [cfg] [weights (optional)]", file=sys.stderr)
+        return 1
+
+    sub = args[0]
+    obj_names = args[1]
+    cfg = args[2] if len(args) > 2 else None
+    weights = args[3] if len(args) > 3 else None
+    filename = args[4] if len(args) > 4 else None
+    if cfg is None:
+        print("error: missing cfg file", file=sys.stderr)
+        return 1
+
+    if sub == "test":
+        from ..datacfg import load_names
+        from .detect import run
+        names = load_names(obj_names)
+        run(names, cfg, weights, filename, thresh=thresh, quantized=quantized,
+            dont_show=dont_show, int8_policy=int8_policy, save_path=save_path,
+            letter=letterbox)
+        return 0
+    elif sub == "map":
+        from .map import validate_detector_map
+        validate_detector_map(obj_names, cfg, weights, thresh=thresh,
+                              quantized=quantized, iou_thresh=iou_thresh,
+                              int8_policy=int8_policy)
+        return 0
+    elif sub == "calibrate":
+        from .calibrate import validate_calibrate
+        validate_calibrate(obj_names, cfg, weights,
+                           input_calibration=input_calibration)
+        return 0
+    elif sub == "demo":
+        from ..datacfg import load_names
+        from .demo import demo
+        names = load_names(obj_names)
+        demo(cfg, weights, thresh, filename, names, quantized=quantized,
+             out_filename=out_filename, dont_show=dont_show)
+        return 0
+    print(f"Not an option: {sub}", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,79 @@
+"""Single-image detection app (reference: test_detector_cpu, src/main.c:156-247).
+
+Pipeline: parse cfg -> load weights -> fuse BN -> (binarize XNOR) -> (quantize INT8)
+-> resize image (darknet bilinear) -> jitted forward -> decode -> NMS -> print + draw.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ..cfg import parse_network_cfg
+from ..io import image as im_io
+from ..models.network import Predictor
+from ..post import boxes as post
+from ..quant import quantize_params
+from ..weights import fuse_conv_batchnorm, load_weights, random_params
+from ..xnor import binarize_params
+
+
+def build_predictor(cfgfile: str, weightfile, quantized: bool = False,
+                    int8_policy: str = "cpu", batch: int = 1,
+                    compute_dtype=None, seed: int = 0):
+    """Shared init chain (reference: src/main.c:160-171 and :4552-4561)."""
+    import jax.numpy as jnp
+    spec = parse_network_cfg(cfgfile, batch=batch, quantized=quantized)
+    if weightfile:
+        params = load_weights(spec, weightfile)
+    else:
+        params = random_params(spec, seed=seed)
+    params = fuse_conv_batchnorm(spec, params)
+    params = binarize_params(spec, params)
+    mode = "fp32"
+    if quantized:
+        params = quantize_params(spec, params)
+        mode = "int8"
+    cd = compute_dtype if compute_dtype is not None else jnp.float32
+    pred = Predictor(spec, params, mode, int8_policy=int8_policy, compute_dtype=cd)
+    return spec, pred
+
+
+def detect_image(pred, spec, filename: str, thresh: float, nms: float,
+                 names, letter: bool = False):
+    """Run one image through the predictor; returns (dets, image, elapsed)."""
+    im = im_io.load_image(filename, 3)
+    sized = im_io.resize_image(im, spec.net.w, spec.net.h)
+    t0 = time.time()
+    heads = pred(im_io.to_batch(sized))
+    head_outputs = [np.asarray(h.data[0]) for h in heads]
+    elapsed = time.time() - t0
+    head_specs = pred.head_specs()
+    dets = post.get_network_boxes(head_outputs, head_specs,
+                                  im.shape[1], im.shape[0],
+                                  spec.net.w, spec.net.h, thresh,
+                                  relative=True, letter=letter)
+    classes = head_specs[-1].classes
+    if nms:
+        post.do_nms_sort(dets, classes, nms)
+    return dets, im, elapsed
+
+
+def run(names, cfgfile: str, weightfile, filename: str, thresh: float = 0.24,
+        quantized: bool = False, dont_show: bool = True,
+        int8_policy: str = "cpu", save_path: str = "predictions",
+        letter: bool = False) -> str:
+    spec, pred = build_predictor(cfgfile, weightfile, quantized,
+                                 int8_policy=int8_policy)
+    nms = 0.2 if quantized else 0.4  # reference: src/main.c:174,213
+    dets, im, elapsed = detect_image(pred, spec, filename, thresh, nms, names,
+                                     letter=letter)
+    print(f"{filename}: Predicted in {elapsed:f} seconds.")
+    classes = pred.head_specs()[-1].classes
+    text = post.format_detections(dets, names, thresh, im.shape[1], im.shape[0])
+    if text:
+        print(text)
+    im_io.draw_detections(im, dets, names, thresh, classes)
+    im_io.save_image_png(im, save_path)
+    return text

@@ -1,0 +1,168 @@
+"""Network forward builder: ModelSpec -> one jittable XLA program.
+
+The whole network (every layer, both heads) traces into a single ``jit``-compiled XLA
+program; layer dispatch happens at trace time over the static spec, so there is no
+Python in the hot path (contrast with the reference's per-layer interpreter loop,
+``yolov2_forward_network_cpu``, src/yolov2_forward_network.c:581-628).
+
+Precision modes:
+
+* ``fp32``   — dense convs in fp32 (or bf16-on-MXU via ``compute_dtype``); XNOR layers
+  (cfg ``xnor=1``) always take the binary path, as in the reference.
+* ``int8``   — convs quantized per policy:
+  - ``policy="cpu"``: every conv except index 0 and LINEAR-activation convs
+    (reference dispatch: src/yolov2_forward_network_quantized.c:1036-1037);
+  - ``policy="gpu"``: only convs with the cfg-derived ``quantized`` eligibility flag
+    (reference: parse_convolutional + yolo-lookahead, src/additionally.c:3558,3996).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cfg import (ConvSpec, MaxpoolSpec, ModelSpec, RegionSpec, ReorgSpec,
+                   RouteSpec, ShortcutSpec, SoftmaxSpec, UpsampleSpec, YoloSpec)
+from . import layers as L
+
+
+class HeadOutput(NamedTuple):
+    """Post-activation output of a detection head, cell-major.
+
+    ``data``: [B, H, W, n, entries] where entries = 4 coords + 1 obj + classes.
+    """
+    index: int
+    kind: str          # "yolo" | "region"
+    data: jax.Array
+
+
+def _int8_layer_set(spec: ModelSpec, policy: str) -> set:
+    out = set()
+    for l in spec.layers:
+        if not isinstance(l, ConvSpec):
+            continue
+        if policy == "cpu":
+            if l.index >= 1 and l.activation != "linear":
+                out.add(l.index)
+        elif policy == "gpu":
+            if l.quantized:
+                out.add(l.index)
+        else:
+            raise ValueError(f"unknown int8 policy {policy!r}")
+    return out
+
+
+def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cpu",
+                  compute_dtype=jnp.float32, capture_conv_inputs: bool = False):
+    """Return ``forward(params, x)`` for the given spec.
+
+    ``x``: [B, H, W, C] float32, NHWC, values in [0,1] (darknet image convention).
+    ``params``: per-layer list — fp32/bn dicts (see weights.py), plus for int8 mode the
+    quantized entries from quant.quantize_params, plus for xnor layers the entries from
+    xnor.binarize_params.
+
+    Returns ``(heads, aux)`` where ``heads`` is a tuple of HeadOutput and ``aux`` is a
+    dict (contains ``conv_inputs`` list when ``capture_conv_inputs``; and ``final`` =
+    last layer output).
+    """
+    int8_set = _int8_layer_set(spec, int8_policy) if mode == "int8" else set()
+
+    def forward(params, x):
+        outputs: dict[int, jax.Array] = {}
+        heads: list[HeadOutput] = []
+        conv_inputs: list = []
+        cur = x
+        for l in spec.layers:
+            i = l.index
+            if isinstance(l, ConvSpec):
+                p = params[i]
+                if capture_conv_inputs:
+                    conv_inputs.append(cur)
+                if l.xnor:
+                    cur = L.conv2d_xnor(
+                        cur, p["sign_weights"], p["mean_arr"], p["biases"],
+                        l.stride, l.pad, l.activation)
+                elif i in int8_set:
+                    cur = L.conv2d_int8(
+                        cur, p["weights_int8"], p["biases"], l.stride, l.pad,
+                        l.activation, p["input_quant_multipler"],
+                        p["weights_quant_multipler"])
+                else:
+                    bn = None
+                    if "scales" in p:
+                        bn = (p["scales"], p["rolling_mean"], p["rolling_variance"])
+                    cur = L.conv2d_fp32(cur, p["weights"], p["biases"], l.stride,
+                                        l.pad, l.activation, bn=bn,
+                                        compute_dtype=compute_dtype)
+            elif isinstance(l, MaxpoolSpec):
+                cur = L.maxpool(cur, l.size, l.stride, l.pad, l.out_w, l.out_h)
+            elif isinstance(l, RouteSpec):
+                cur = L.route([outputs[j] for j in l.layers])
+            elif isinstance(l, ReorgSpec):
+                cur = L.reorg(cur, l.stride, l.reverse)
+            elif isinstance(l, UpsampleSpec):
+                cur = L.upsample(cur, l.stride, l.scale)
+            elif isinstance(l, ShortcutSpec):
+                cur = L.shortcut(cur, outputs[l.from_index], l.activation)
+            elif isinstance(l, YoloSpec):
+                b, h, w, _ = cur.shape
+                y = L.yolo_head(cur, l.n, l.classes)
+                cur = y
+                heads.append(HeadOutput(i, "yolo",
+                                        y.reshape(b, h, w, l.n, 5 + l.classes)))
+            elif isinstance(l, RegionSpec):
+                y5 = L.region_head(cur, l.n, l.classes, l.coords, l.softmax)
+                b, h, w = y5.shape[:3]
+                cur = y5.reshape(b, h, w, -1)
+                heads.append(HeadOutput(i, "region", y5))
+            elif isinstance(l, SoftmaxSpec):
+                cur = L.softmax_layer(cur.reshape(cur.shape[0], -1),
+                                      l.groups, l.temperature)
+            else:
+                raise NotImplementedError(f"layer {type(l).__name__}")
+            outputs[i] = cur
+        aux = {"final": cur}
+        if capture_conv_inputs:
+            aux["conv_inputs"] = conv_inputs
+        return tuple(heads), aux
+
+    return forward
+
+
+def params_to_device(params: list) -> list:
+    """Move a params list onto the default device as jnp arrays."""
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+class Predictor:
+    """Convenience wrapper: jitted end-to-end forward for a fixed spec/mode.
+
+    This is the TPU analog of the reference's ``network_predict_cpu``
+    (src/yolov2_forward_network.c:632) family: one call, image(s) in, head maps out.
+    """
+
+    def __init__(self, spec: ModelSpec, params: list, mode: str = "fp32", *,
+                 int8_policy: str = "cpu", compute_dtype=jnp.float32):
+        self.spec = spec
+        self.mode = mode
+        self.params = params_to_device(params)
+        fwd = build_forward(spec, mode, int8_policy=int8_policy,
+                            compute_dtype=compute_dtype)
+        # jit only carries arrays; head metadata (index/kind) is static and reattached
+        self._head_meta = [(l.index, "yolo" if isinstance(l, YoloSpec) else "region")
+                           for l in spec.layers
+                           if isinstance(l, (YoloSpec, RegionSpec))]
+        self._jitted = jax.jit(
+            lambda p, x: tuple(h.data for h in fwd(p, x)[0]))
+
+    def __call__(self, x) -> tuple:
+        datas = self._jitted(self.params, jnp.asarray(x))
+        return tuple(HeadOutput(i, k, d)
+                     for (i, k), d in zip(self._head_meta, datas))
+
+    def head_specs(self):
+        return [l for l in self.spec.layers if isinstance(l, (YoloSpec, RegionSpec))]

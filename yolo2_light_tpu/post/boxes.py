@@ -1,0 +1,254 @@
+"""Detection decode + NMS (host reference implementation, NumPy).
+
+Exact value/order parity with the reference decode stack:
+
+* ``get_network_boxes`` / ``fill_network_boxes`` (src/additionally.c:4386-4408)
+* yolo decode: ``get_yolo_detections`` + ``get_yolo_box`` (src/additionally.c:4317-4360)
+* region decode: ``custom_get_region_detections`` -> ``get_region_boxes_cpu``
+  (src/additionally.c:4363-4384, src/yolov2_forward_network.c:653-726)
+* letterbox/stretch coordinate correction: ``correct_yolo_boxes``
+  (src/additionally.c:4281-4314)
+* NMS: ``do_nms_sort`` (src/box.c:296-328) with ``box_iou`` (src/box.c:94)
+
+Detections are held as a struct-of-arrays :class:`Detections` batch; iteration order
+matches the reference (heads in network order; cells row-major; anchors inner), so
+downstream sorts/prints line up with the reference byte-for-byte modulo float tolerance.
+
+A fused on-device decode lives in post/device_decode.py; this module is the oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class Detections:
+    """Struct-of-arrays detection set for a single image."""
+    bbox: np.ndarray        # [N,4] x,y,w,h (relative)
+    objectness: np.ndarray  # [N]
+    prob: np.ndarray        # [N,classes]
+
+    @property
+    def n(self) -> int:
+        return self.bbox.shape[0]
+
+    @classmethod
+    def empty(cls, classes: int) -> "Detections":
+        return cls(np.zeros((0, 4), np.float32), np.zeros((0,), np.float32),
+                   np.zeros((0, classes), np.float32))
+
+    @classmethod
+    def concat(cls, parts: list) -> "Detections":
+        return cls(np.concatenate([p.bbox for p in parts], 0),
+                   np.concatenate([p.objectness for p in parts], 0),
+                   np.concatenate([p.prob for p in parts], 0))
+
+
+def correct_boxes(bbox: np.ndarray, w: int, h: int, netw: int, neth: int,
+                  relative: bool, letter: bool) -> np.ndarray:
+    """Undo network-input letterbox/stretch into original-image coordinates
+    (reference: correct_yolo_boxes, src/additionally.c:4281-4314)."""
+    if letter:
+        if (netw / w) < (neth / h):
+            new_w = netw
+            new_h = (h * netw) // w
+        else:
+            new_h = neth
+            new_w = (w * neth) // h
+    else:
+        new_w, new_h = netw, neth
+    b = bbox.copy()
+    b[:, 0] = (b[:, 0] - (netw - new_w) / 2.0 / netw) / (new_w / netw)
+    b[:, 1] = (b[:, 1] - (neth - new_h) / 2.0 / neth) / (new_h / neth)
+    b[:, 2] *= netw / new_w
+    b[:, 3] *= neth / new_h
+    if not relative:
+        b[:, [0, 2]] *= w
+        b[:, [1, 3]] *= h
+    return b
+
+
+def get_yolo_detections(head: np.ndarray, mask, anchors, classes: int,
+                        w: int, h: int, netw: int, neth: int, thresh: float,
+                        relative: bool = True, letter: bool = False) -> Detections:
+    """Decode one yolo head (reference: get_yolo_detections, src/additionally.c:4328).
+
+    ``head``: [H,W,n,5+classes] post-activation (x,y sigmoid; w,h raw; obj/cls sigmoid).
+    Box: x=(col+sx)/W, y=(row+sy)/H, w=exp(tw)*anchor_w/netw, h=exp(th)*anchor_h/neth
+    (reference: get_yolo_box, src/additionally.c:4317-4325).
+    prob_j = objectness*class_j, zeroed when <= thresh.
+    """
+    lh, lw, n = head.shape[:3]
+    obj = head[..., 4]
+    # iteration order: cell (row-major), then anchor — build full grids then select
+    cols = np.arange(lw, dtype=np.float32)[None, :, None]
+    rows = np.arange(lh, dtype=np.float32)[:, None, None]
+    anchors = np.asarray(anchors, dtype=np.float32)
+    aw = anchors[2 * np.asarray(mask)]
+    ah = anchors[2 * np.asarray(mask) + 1]
+    bx = (cols + head[..., 0]) / lw
+    by = (rows + head[..., 1]) / lh
+    bw = np.exp(head[..., 2]) * aw[None, None, :] / netw
+    bh = np.exp(head[..., 3]) * ah[None, None, :] / neth
+    keep = obj > thresh
+    sel = np.nonzero(keep.reshape(lh * lw, n))  # (cell, anchor), cell-major ✔ order
+    cells, anchs = sel
+    flat = lambda a: a.reshape(lh * lw, n)[cells, anchs]
+    bbox = np.stack([flat(bx), flat(by), flat(bw), flat(bh)], axis=-1)
+    objectness = flat(obj)
+    probs = head[..., 5:].reshape(lh * lw, n, classes)[cells, anchs]
+    probs = probs * objectness[:, None]
+    probs[probs <= thresh] = 0.0
+    bbox = correct_boxes(bbox.astype(np.float32), w, h, netw, neth, relative, letter)
+    return Detections(bbox.astype(np.float32), objectness.astype(np.float32),
+                      probs.astype(np.float32))
+
+
+def get_region_detections(head: np.ndarray, anchors, classes: int, coords: int,
+                          classfix: int, w: int, h: int, netw: int, neth: int,
+                          thresh: float, relative: bool = True,
+                          letter: bool = False) -> Detections:
+    """Decode a region (YOLOv2) head
+    (reference: custom_get_region_detections, src/additionally.c:4363-4384, and
+    get_region_boxes_cpu, src/yolov2_forward_network.c:664-726).
+
+    ``head``: [H,W,n,coords+1+classes]; x,y raw (logistic applied here), t0/classes
+    already activated. Every cell*anchor becomes a detection (objectness := 1);
+    prob_j = t0*class_j zeroed at <= thresh; anchors are in grid units.
+    """
+    lh, lw, n = head.shape[:3]
+    anchors = np.asarray(anchors, dtype=np.float32)
+    cols = np.arange(lw, dtype=np.float32)[None, :, None]
+    rows = np.arange(lh, dtype=np.float32)[:, None, None]
+
+    def logistic(v):
+        return 1.0 / (1.0 + np.exp(-v))
+
+    bx = (cols + logistic(head[..., 0])) / lw
+    by = (rows + logistic(head[..., 1])) / lh
+    bw = np.exp(head[..., 2]) * anchors[0::2][None, None, :n] / lw
+    bh = np.exp(head[..., 3]) * anchors[1::2][None, None, :n] / lh
+    scale = head[..., coords].copy()
+    if classfix == -1:
+        scale[scale < 0.5] = 0.0
+    probs = head[..., coords + 1:] * scale[..., None]
+    probs[probs <= thresh] = 0.0
+
+    # order: cell-major, anchor inner (index = cell*n + anchor) ✔
+    bbox = np.stack([bx, by, bw, bh], axis=-1).reshape(lh * lw * n, 4)
+    probs = probs.reshape(lh * lw * n, classes)
+    objectness = np.ones(lh * lw * n, np.float32)
+    bbox = correct_boxes(bbox.astype(np.float32), w, h, netw, neth, relative, letter)
+    return Detections(bbox.astype(np.float32), objectness,
+                      probs.astype(np.float32))
+
+
+def get_network_boxes(head_outputs, head_specs, w: int, h: int,
+                      netw: int, neth: int, thresh: float,
+                      relative: bool = True, letter: bool = False) -> Detections:
+    """Decode all heads of one image (reference: get_network_boxes,
+    src/additionally.c:4403). ``head_outputs``: list of np arrays [H,W,n,entries]
+    (batch already sliced); ``head_specs``: matching YoloSpec/RegionSpec list."""
+    from ..cfg import RegionSpec, YoloSpec
+    parts = []
+    for out, spec in zip(head_outputs, head_specs):
+        if isinstance(spec, YoloSpec):
+            parts.append(get_yolo_detections(
+                out, spec.mask, spec.anchors, spec.classes, w, h, netw, neth,
+                thresh, relative, letter))
+        elif isinstance(spec, RegionSpec):
+            parts.append(get_region_detections(
+                out, spec.anchors, spec.classes, spec.coords, spec.classfix,
+                w, h, netw, neth, thresh, relative, letter))
+    if not parts:
+        return Detections.empty(0)
+    return Detections.concat(parts)
+
+
+# ---------------------------------------------------------------------------
+# IoU + NMS
+# ---------------------------------------------------------------------------
+
+
+def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise IoU of center-format boxes [N,4] x [M,4] -> [N,M]
+    (reference: box_iou/box_intersection/overlap, src/box.c:70-97).
+    Negative-overlap => intersection 0; IoU = inter/union with no epsilon."""
+    ax1 = a[:, 0] - a[:, 2] / 2
+    ax2 = a[:, 0] + a[:, 2] / 2
+    ay1 = a[:, 1] - a[:, 3] / 2
+    ay2 = a[:, 1] + a[:, 3] / 2
+    bx1 = b[:, 0] - b[:, 2] / 2
+    bx2 = b[:, 0] + b[:, 2] / 2
+    by1 = b[:, 1] - b[:, 3] / 2
+    by2 = b[:, 1] + b[:, 3] / 2
+    iw = np.minimum(ax2[:, None], bx2[None, :]) - np.maximum(ax1[:, None], bx1[None, :])
+    ih = np.minimum(ay2[:, None], by2[None, :]) - np.maximum(ay1[:, None], by1[None, :])
+    inter = np.where((iw < 0) | (ih < 0), 0.0, iw * ih)
+    union = (a[:, 2] * a[:, 3])[:, None] + (b[:, 2] * b[:, 3])[None, :] - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(union > 0, inter / union, 0.0)
+
+
+def do_nms_sort(dets: Detections, classes: int, thresh: float) -> Detections:
+    """Per-class greedy NMS, in place on ``prob``
+    (reference: do_nms_sort, src/box.c:296-328).
+
+    Semantics: per class, walk detections in descending prob; a surviving box zeroes
+    the class-prob of any later box with IoU > thresh. Zero-objectness detections are
+    excluded entirely (the reference swaps them past the end first).
+    """
+    if dets.n == 0:
+        return dets
+    live = dets.objectness != 0
+    idx_live = np.nonzero(live)[0]
+    bbox = dets.bbox[idx_live]
+    prob = dets.prob[idx_live]
+    iou = box_iou(bbox, bbox)
+    for k in range(classes):
+        order = np.argsort(-prob[:, k], kind="stable")
+        for oi, i in enumerate(order):
+            if prob[i, k] == 0:
+                continue
+            rest = order[oi + 1:]
+            prob[rest[iou[i, rest] > thresh], k] = 0.0
+    dets.prob[idx_live] = prob
+    return dets
+
+
+# ---------------------------------------------------------------------------
+# Text output (parity with draw_detections_v3 stdout, src/main.c:80-103)
+# ---------------------------------------------------------------------------
+
+
+def format_detections(dets: Detections, names, thresh: float, im_w: int, im_h: int,
+                      ext_output: bool = True) -> str:
+    """Reference print: best-class detections sorted by left edge; line
+    ``name: P%\\t(left_x: ... top_y: ... width: ... height: ...)`` plus extra lines for
+    other classes above thresh (src/main.c:38-103)."""
+    lines = []
+    best_class = np.full(dets.n, -1)
+    best_prob = np.full(dets.n, thresh, np.float32)
+    for j in range(dets.prob.shape[1]):
+        better = dets.prob[:, j] > best_prob
+        best_class[better] = j
+        best_prob[better] = dets.prob[better, j]
+    sel = np.nonzero(best_class >= 0)[0]
+    lefts = dets.bbox[sel, 0] - dets.bbox[sel, 2] / 2
+    for i in sel[np.argsort(lefts, kind="stable")]:
+        bc = best_class[i]
+        x, y, bw, bh = dets.bbox[i]
+        line = f"{names[bc]}: {dets.prob[i, bc] * 100:.0f}%"
+        if ext_output:
+            line += ("\t(left_x: {:4.0f}   top_y: {:4.0f}   width: {:4.0f}   "
+                     "height: {:4.0f})").format(
+                round((x - bw / 2) * im_w), round((y - bh / 2) * im_h),
+                round(bw * im_w), round(bh * im_h))
+        lines.append(line)
+        for j in range(dets.prob.shape[1]):
+            if dets.prob[i, j] > thresh and j != bc:
+                lines.append(f"{names[j]}: {dets.prob[i, j] * 100:.0f}%")
+    return "\n".join(lines)

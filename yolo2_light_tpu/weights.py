@@ -1,0 +1,149 @@
+"""Darknet ``.weights`` binary reader and parameter transforms.
+
+Format (reference: load_weights_upto_cpu, src/additionally.c:3491-3529):
+
+* header: 3 x int32 ``major, minor, revision``; then ``seen`` — uint64 if
+  ``major*10+minor >= 2`` else uint32.
+* per CONVOLUTIONAL layer, in network order
+  (reference: load_convolutional_weights_cpu, src/additionally.c:3459-3489):
+  ``biases[n]`` f32; if batch_normalize: ``scales[n], rolling_mean[n],
+  rolling_variance[n]`` f32; then ``weights[n*c*size*size]`` f32 (OIHW).
+
+Parameters are kept as a list (one entry per network layer; non-conv layers get ``None``)
+of dicts of numpy arrays. Conv weights are stored in HWIO layout (TPU/XLA-native for NHWC
+convolutions); the OIHW->HWIO transpose happens once at load time.
+
+Transforms:
+
+* :func:`fuse_conv_batchnorm` — fold BN into weights/bias
+  (reference math: yolov2_fuse_conv_batchnorm, src/additionally.c:67-109;
+  epsilon 1e-6 is added to sqrt(var) OUTSIDE the sqrt).
+* Writer :func:`save_weights` for round-trip tests and tooling.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import IO, Optional
+
+import numpy as np
+
+from .cfg import ConvSpec, ModelSpec
+
+
+def _read_f32(f: IO[bytes], count: int) -> np.ndarray:
+    data = np.fromfile(f, dtype=np.float32, count=count)
+    if data.size != count:
+        raise EOFError(f"weights file truncated: wanted {count} floats, got {data.size}")
+    return data
+
+
+def load_weights(spec: ModelSpec, path: str, cutoff: Optional[int] = None) -> list:
+    """Read a darknet .weights file into a per-layer params list.
+
+    Returns ``params`` where ``params[i]`` is ``None`` for non-conv layers and a dict
+    with keys ``weights`` (HWIO f32), ``biases`` and, before fusion, optionally
+    ``scales``/``rolling_mean``/``rolling_variance`` for BN layers.
+    """
+    if cutoff is None:
+        cutoff = spec.n
+    params: list = [None] * spec.n
+    with open(path, "rb") as f:
+        major, minor, revision = struct.unpack("<3i", f.read(12))
+        if major * 10 + minor >= 2:
+            (seen,) = struct.unpack("<Q", f.read(8))
+        else:
+            (seen,) = struct.unpack("<I", f.read(4))
+        for i, l in enumerate(spec.layers):
+            if i >= cutoff:
+                break
+            if not isinstance(l, ConvSpec):
+                continue
+            entry = {"biases": _read_f32(f, l.n)}
+            if l.batch_normalize:
+                entry["scales"] = _read_f32(f, l.n)
+                entry["rolling_mean"] = _read_f32(f, l.n)
+                entry["rolling_variance"] = _read_f32(f, l.n)
+            w = _read_f32(f, l.n * l.c * l.size * l.size)
+            # darknet OIHW -> HWIO
+            entry["weights"] = np.transpose(
+                w.reshape(l.n, l.c, l.size, l.size), (2, 3, 1, 0)).copy()
+            params[i] = entry
+    return params
+
+
+def save_weights(spec: ModelSpec, params: list, path: str,
+                 version=(0, 2, 0), seen: int = 0) -> None:
+    """Write params back to the darknet binary format (HWIO -> OIHW)."""
+    with open(path, "wb") as f:
+        f.write(struct.pack("<3i", *version))
+        major, minor, _ = version
+        if major * 10 + minor >= 2:
+            f.write(struct.pack("<Q", seen))
+        else:
+            f.write(struct.pack("<I", seen))
+        for i, l in enumerate(spec.layers):
+            if not isinstance(l, ConvSpec) or params[i] is None:
+                continue
+            p = params[i]
+            np.asarray(p["biases"], dtype=np.float32).tofile(f)
+            if l.batch_normalize:
+                np.asarray(p["scales"], dtype=np.float32).tofile(f)
+                np.asarray(p["rolling_mean"], dtype=np.float32).tofile(f)
+                np.asarray(p["rolling_variance"], dtype=np.float32).tofile(f)
+            w = np.transpose(np.asarray(p["weights"], dtype=np.float32),
+                             (3, 2, 0, 1))  # HWIO -> OIHW
+            w.tofile(f)
+
+
+def random_params(spec: ModelSpec, seed: int = 0, scale: Optional[float] = None) -> list:
+    """Generate random conv params (for tests/benchmarks without real weights).
+
+    Uses the reference's He-style init scale ``sqrt(2/(size*size*c))``
+    (reference: make_convolutional_layer, src/additionally.c:2746-2747).
+    """
+    rng = np.random.RandomState(seed)
+    params: list = [None] * spec.n
+    for i, l in enumerate(spec.layers):
+        if not isinstance(l, ConvSpec):
+            continue
+        s = np.sqrt(2.0 / (l.size * l.size * l.c)) if scale is None else scale
+        entry = {
+            "weights": (s * rng.uniform(-1, 1, (l.size, l.size, l.c, l.n))
+                        ).astype(np.float32),
+            "biases": rng.uniform(-0.5, 0.5, l.n).astype(np.float32),
+        }
+        if l.batch_normalize:
+            entry["scales"] = rng.uniform(0.5, 1.5, l.n).astype(np.float32)
+            entry["rolling_mean"] = rng.uniform(-0.3, 0.3, l.n).astype(np.float32)
+            entry["rolling_variance"] = rng.uniform(0.2, 1.5, l.n).astype(np.float32)
+        params[i] = entry
+    return params
+
+
+def fuse_conv_batchnorm(spec: ModelSpec, params: list) -> list:
+    """Fold batchnorm into conv weights/biases, returning a new params list.
+
+    Math (reference: yolov2_fuse_conv_batchnorm, src/additionally.c:80-88):
+      denom = sqrt(rolling_variance) + 1e-6        (epsilon OUTSIDE the sqrt)
+      bias' = bias - scales * rolling_mean / denom
+      W'    = W * scales / denom                   (per output filter)
+    """
+    fused: list = []
+    for i, l in enumerate(spec.layers):
+        p = params[i]
+        if p is None or not isinstance(l, ConvSpec) or "scales" not in p:
+            fused.append(p)
+            continue
+        denom = np.sqrt(p["rolling_variance"]) + 1e-6
+        factor = (p["scales"] / denom).astype(np.float32)
+        fused.append({
+            "biases": (p["biases"] - p["scales"] * p["rolling_mean"] / denom
+                       ).astype(np.float32),
+            "weights": (p["weights"] * factor[None, None, None, :]).astype(np.float32),
+        })
+    return fused
+
+
+def is_fused(params: list) -> bool:
+    return all(p is None or "scales" not in p for p in params)
