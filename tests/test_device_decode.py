@@ -1,0 +1,70 @@
+"""Device decode/compaction must reproduce the host decode path exactly."""
+
+import os
+
+import numpy as np
+
+from yolo2_light_tpu.cfg import parse_network_cfg
+from yolo2_light_tpu.models.network import Predictor
+from yolo2_light_tpu.pipeline import DetectionPipeline
+from yolo2_light_tpu.post import boxes as post
+from yolo2_light_tpu.weights import fuse_conv_batchnorm, random_params
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _match(host_dets, dev_dets):
+    """Same surviving (class,conf) multiset and matching boxes."""
+    hp = host_dets.prob[host_dets.prob.max(-1) > 0]
+    dp = dev_dets.prob[dev_dets.prob.max(-1) > 0]
+    assert hp.shape[0] == dp.shape[0], (hp.shape, dp.shape)
+    # sort rows by max prob for comparison
+    horder = np.argsort(-hp.max(-1), kind="stable")
+    dorder = np.argsort(-dp.max(-1), kind="stable")
+    np.testing.assert_allclose(hp[horder], dp[dorder], rtol=1e-5, atol=1e-6)
+
+
+def _run(cfg_name, seed, thresh=0.3):
+    cfg = os.path.join(DATA, cfg_name)
+    spec = parse_network_cfg(cfg, batch=1)
+    params = fuse_conv_batchnorm(spec, random_params(spec, seed=seed))
+
+    rng = np.random.RandomState(42)
+    x = rng.rand(1, spec.net.h, spec.net.w, spec.net.c).astype(np.float32)
+
+    # host path
+    pred = Predictor(spec, params)
+    heads = pred(x)
+    host_dets = post.get_network_boxes(
+        [np.asarray(h.data[0]) for h in heads], pred.head_specs(),
+        spec.net.w, spec.net.h, spec.net.w, spec.net.h, thresh)
+    post.do_nms_sort(host_dets, pred.head_specs()[-1].classes, 0.4)
+
+    # device path
+    pipe = DetectionPipeline(spec, params, thresh=thresh, nms=0.4, k=2048)
+    dev_dets = pipe(x)[0]
+    return host_dets, dev_dets
+
+
+def test_device_decode_yolo_matches_host():
+    _match(*_run("mini-yolo3.cfg", seed=1))
+
+
+def test_device_decode_region_matches_host():
+    _match(*_run("mini-yolo2.cfg", seed=3))
+
+
+def test_pipeline_batched():
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec = parse_network_cfg(cfg, batch=4)
+    params = fuse_conv_batchnorm(spec, random_params(spec, seed=2))
+    pipe = DetectionPipeline(spec, params, thresh=0.3, k=512)
+    x = np.random.RandomState(0).rand(4, spec.net.h, spec.net.w,
+                                      spec.net.c).astype(np.float32)
+    dets = pipe(x)
+    assert len(dets) == 4
+    # identical inputs -> identical detections
+    x2 = np.stack([x[0]] * 4)
+    d2 = pipe(x2)
+    for d in d2[1:]:
+        np.testing.assert_allclose(d.prob, d2[0].prob, rtol=1e-6)

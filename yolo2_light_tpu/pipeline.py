@@ -1,0 +1,126 @@
+"""Fused frame->boxes serving pipeline: (optional uint8 normalize) + network forward +
+on-device decode/compaction in ONE jitted XLA program; host does only exact NMS +
+formatting over <=K candidates.
+
+This is the TPU-native answer to the reference's predict->get_network_boxes->NMS chain
+(src/main.c:199-230). Two transfer optimizations matter on real hardware:
+
+* inputs ship as uint8 ([0,255]) and are normalized to [0,1] on device — 4x less H2D
+  than fp32 (the reference ships fp32, src/yolov2_forward_network_gpu.cu:556-558);
+* the device returns ONE packed [K, 4+1+classes] candidate buffer per image instead
+  of full head maps (tens of MB) or multiple buffers (round trip per buffer).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cfg import ModelSpec, RegionSpec, YoloSpec
+from .models.network import build_forward, params_to_device
+from .post import boxes as post
+from .post.device_decode import decode_and_compact_packed
+
+
+class DetectionPipeline:
+    """End-to-end detector: ``__call__(images) -> list[Detections]``.
+
+    ``images``: [B,H,W,C] uint8 (preferred, [0,255]) or float32 in [0,1], already
+    resized to net dims.
+    """
+
+    def __init__(self, spec: ModelSpec, params: list, mode: str = "fp32", *,
+                 thresh: float = 0.24, nms: float = 0.4, k: int = 256,
+                 int8_policy: str = "cpu", compute_dtype=jnp.float32,
+                 letter: bool = False, packed_dtype=jnp.float32):
+        self.spec = spec
+        self.thresh = thresh
+        self.nms = nms
+        self.k = k
+        self.letter = letter
+        self.params = params_to_device(params)
+        self.head_specs = [l for l in spec.layers
+                           if isinstance(l, (YoloSpec, RegionSpec))]
+        self.classes = self.head_specs[-1].classes
+        fwd = build_forward(spec, mode, int8_policy=int8_policy,
+                            compute_dtype=compute_dtype)
+        netw, neth = spec.net.w, spec.net.h
+        head_specs = self.head_specs
+
+        def run(p, x):
+            if x.dtype == jnp.uint8:
+                x = x.astype(jnp.float32) * (1.0 / 255.0)
+            heads, _ = fwd(p, x)
+            packed = decode_and_compact_packed([h.data for h in heads],
+                                               head_specs, netw, neth, thresh, k)
+            return packed.astype(packed_dtype)
+
+        self._jitted = jax.jit(run)
+
+    def raw(self, images):
+        """Packed device output [B,K,4+1+classes] — still on device."""
+        return self._jitted(self.params, jnp.asarray(images))
+
+    def __call__(self, images, im_sizes=None):
+        """Full pipeline for a batch. ``im_sizes``: list of (w,h) original image sizes
+        for coordinate correction (defaults to net dims). Returns list[Detections]
+        after exact per-class NMS."""
+        packed = np.asarray(self.raw(images)).astype(np.float32)  # one D2H transfer
+        netw, neth = self.spec.net.w, self.spec.net.h
+        out = []
+        for i in range(packed.shape[0]):
+            w, h = im_sizes[i] if im_sizes is not None else (netw, neth)
+            out.append(self._finish(packed[i], w, h))
+        return out
+
+    def stream(self, batches, im_sizes_iter=None, depth: int = 2):
+        """Pipelined streaming inference: keeps ``depth`` batches in flight so H2D,
+        device compute, D2H and host NMS overlap (the TPU-native analog of the
+        reference demo's fetch/detect thread pair, src/main.c:490-572).
+
+        ``batches``: iterable of [B,H,W,C] arrays. Yields lists of Detections.
+        """
+        from collections import deque
+        inflight = deque()
+        it = iter(batches)
+        sizes_it = iter(im_sizes_iter) if im_sizes_iter is not None else None
+        done = False
+        while True:
+            while not done and len(inflight) < depth:
+                try:
+                    xb = next(it)
+                except StopIteration:
+                    done = True
+                    break
+                sizes = next(sizes_it) if sizes_it is not None else None
+                inflight.append((self.raw(xb), sizes))
+            if not inflight:
+                return
+            packed_dev, sizes = inflight.popleft()
+            packed = np.asarray(packed_dev).astype(np.float32)
+            netw, neth = self.spec.net.w, self.spec.net.h
+            out = []
+            for i in range(packed.shape[0]):
+                w, h = sizes[i] if sizes is not None else (netw, neth)
+                out.append(self._finish(packed[i], w, h))
+            yield out
+
+    def _finish(self, packed_i: np.ndarray, w: int, h: int):
+        boxes = packed_i[:, :4]
+        obj = packed_i[:, 4]
+        probs = packed_i[:, 5:]
+        keep = probs.max(axis=-1) > 0
+        if keep.all() and packed_i.shape[0] == self.k:
+            import sys
+            print(f"warning: candidate buffer K={self.k} saturated; "
+                  "some detections may be dropped (raise k)", file=sys.stderr)
+        boxes, obj, probs = boxes[keep], obj[keep], probs[keep]
+        boxes = post.correct_boxes(boxes.astype(np.float32), w, h,
+                                   self.spec.net.w, self.spec.net.h,
+                                   relative=True, letter=self.letter)
+        dets = post.Detections(boxes.astype(np.float32), obj.astype(np.float32),
+                               probs.astype(np.float32))
+        if self.nms:
+            post.do_nms_sort(dets, self.classes, self.nms)
+        return dets

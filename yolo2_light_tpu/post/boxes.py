@@ -207,14 +207,24 @@ def do_nms_sort(dets: Detections, classes: int, thresh: float) -> Detections:
     idx_live = np.nonzero(live)[0]
     bbox = dets.bbox[idx_live]
     prob = dets.prob[idx_live]
-    iou = box_iou(bbox, bbox)
-    for k in range(classes):
-        order = np.argsort(-prob[:, k], kind="stable")
-        for oi, i in enumerate(order):
+    # Only boxes with nonzero class-prob participate: zero-prob boxes are skipped as
+    # suppressors (``if prob[k]==0 continue``) and zeroing them again is a no-op, so
+    # restricting to the nonzero subset is exactly equivalent to the full loop.
+    any_nz = prob.max(axis=0) > 0 if prob.size else np.zeros(classes, bool)
+    iou_cache = None
+    for k in np.nonzero(any_nz)[0]:
+        nz = np.nonzero(prob[:, k] > 0)[0]
+        if nz.size == 0:
+            continue
+        if iou_cache is None:
+            iou_cache = box_iou(bbox, bbox)
+        order = nz[np.argsort(-prob[nz, k], kind="stable")]
+        for oi in range(order.size):
+            i = order[oi]
             if prob[i, k] == 0:
                 continue
             rest = order[oi + 1:]
-            prob[rest[iou[i, rest] > thresh], k] = 0.0
+            prob[rest[iou_cache[i, rest] > thresh], k] = 0.0
     dets.prob[idx_live] = prob
     return dets
 
