@@ -1,0 +1,61 @@
+"""Calibration parity: entropy-calibration multipliers written to
+input_calibration.txt must match the reference binary's on the same net/images."""
+
+import os
+import re
+import subprocess
+
+import numpy as np
+import pytest
+
+from yolo2_light_tpu.cfg import parse_network_cfg
+from yolo2_light_tpu.weights import random_params, save_weights
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+@pytest.fixture(scope="module")
+def calib_dataset(tmp_path_factory):
+    from PIL import Image
+    root = tmp_path_factory.mktemp("calibds")
+    rng = np.random.RandomState(5)
+    paths = []
+    for i in range(4):
+        arr = (rng.rand(80, 100, 3) * 255).astype(np.uint8)
+        p = root / f"im{i}.png"
+        Image.fromarray(arr).save(p)
+        paths.append(str(p))
+    valid = root / "valid.txt"
+    valid.write_text("\n".join(paths) + "\n")
+    names = root / "mini.names"
+    names.write_text("aaa\nbbb\nccc\n")
+    data = root / "mini.data"
+    data.write_text(f"classes=3\nvalid={valid}\nnames={names}\n")
+    return str(data)
+
+
+def test_calibrate_parity(oracle, calib_dataset, tmp_path):
+    cfg = os.path.join(DATA, "mini-calib.cfg")
+    spec = parse_network_cfg(cfg, batch=1)
+    weights = str(tmp_path / "w.weights")
+    save_weights(spec, random_params(spec, seed=21), weights)
+
+    # oracle writes input_calibration.txt into its cwd; needs max_num+1 images to
+    # trigger the save (counter > max_num)
+    res = subprocess.run(
+        [oracle, "detector", "calibrate", calib_dataset, cfg, weights,
+         "-input_calibration", "2"],
+        capture_output=True, text=True, timeout=600,
+        cwd=str(tmp_path), stdin=subprocess.DEVNULL)
+    calfile = tmp_path / "input_calibration.txt"
+    assert calfile.exists(), (res.stdout[-800:], res.stderr[-800:])
+    oracle_line = calfile.read_text()
+
+    from yolo2_light_tpu.apps.calibrate import validate_calibrate
+    ours = validate_calibrate(calib_dataset, cfg, weights, input_calibration=2,
+                              out_path=str(tmp_path / "ours_calibration.txt"))
+
+    ovals = [float(v) for v in re.findall(r"([\d.eE+-]+),", oracle_line)]
+    assert len(ovals) == len(ours)
+    for o, u in zip(ovals, ours):
+        assert abs(o - u) <= 0.02 * max(abs(o), 1e-6) + 1e-4, (ovals, ours)

@@ -1,0 +1,91 @@
+"""mAP harness parity: synthetic labeled dataset evaluated by both the compiled
+reference binary and our map app with identical weights; printed metrics must match."""
+
+import os
+import re
+import subprocess
+
+import numpy as np
+import pytest
+
+from yolo2_light_tpu.cfg import parse_network_cfg
+from yolo2_light_tpu.weights import random_params, save_weights
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    """6 random PNG images under images/ + random labels under labels/."""
+    from PIL import Image
+    root = tmp_path_factory.mktemp("mapds")
+    (root / "images").mkdir()
+    (root / "labels").mkdir()
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(6):
+        arr = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+        p = root / "images" / f"im{i}.png"
+        Image.fromarray(arr).save(p)
+        paths.append(str(p))
+        # 1-3 random truth boxes
+        with open(root / "labels" / f"im{i}.txt", "w") as f:
+            for _ in range(rng.randint(1, 4)):
+                cid = rng.randint(0, 3)
+                x, y = rng.uniform(0.2, 0.8, 2)
+                w, h = rng.uniform(0.1, 0.4, 2)
+                f.write(f"{cid} {x:.6f} {y:.6f} {w:.6f} {h:.6f}\n")
+    valid = root / "valid.txt"
+    valid.write_text("\n".join(paths) + "\n")
+    names = root / "mini.names"
+    names.write_text("aaa\nbbb\nccc\n")
+    data = root / "mini.data"
+    data.write_text(f"classes=3\nvalid={valid}\nnames={names}\n")
+    return {"root": root, "data": str(data), "names": str(names)}
+
+
+def _parse_map_output(text: str) -> dict:
+    out = {}
+    m = re.search(r"detections_count = (\d+), unique_truth_count = (\d+)", text)
+    out["detections_count"] = int(m.group(1))
+    out["unique_truth_count"] = int(m.group(2))
+    out["ap"] = [float(v) for v in re.findall(r"ap = ([\d.]+) %", text)]
+    m = re.search(r"TP = (\d+), FP = (\d+), FN = (\d+), average IoU = ([\d.]+) %",
+                  text)
+    out["tp"], out["fp"], out["fn"] = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    out["avg_iou"] = float(m.group(4))
+    m = re.search(r"precision = ([\d.]+), recall = ([\d.]+), F1-score = ([\d.-]+)",
+                  text)
+    out["precision"], out["recall"] = float(m.group(1)), float(m.group(2))
+    m = re.search(r"\(mAP\) = ([\d.]+)", text)
+    out["mAP"] = float(m.group(1))
+    return out
+
+
+def test_map_parity(oracle, dataset, tmp_path):
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec = parse_network_cfg(cfg, batch=1)
+    weights = str(tmp_path / "w.weights")
+    save_weights(spec, random_params(spec, seed=11), weights)
+
+    res = subprocess.run(
+        [oracle, "detector", "map", dataset["data"], cfg, weights,
+         "-thresh", "0.24"],
+        capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-1500:]
+    oracle_metrics = _parse_map_output(res.stdout)
+
+    from yolo2_light_tpu.apps.map import validate_detector_map
+    # k >= total box count so top-K compaction is lossless for this dense
+    # random-weight net (real weights are sparse; default k=1024 suffices there)
+    ours = validate_detector_map(dataset["data"], cfg, weights, thresh=0.24,
+                                 batch=3, k=4096)
+
+    assert oracle_metrics["unique_truth_count"] == ours["unique_truth_count"]
+    # detection records and threshold TP/FP within small tolerance (fp32 noise can
+    # move borderline boxes across thresholds)
+    assert abs(oracle_metrics["detections_count"] - ours["detections_count"]) <= 3
+    assert abs(oracle_metrics["tp"] - ours["tp"]) <= 1
+    assert abs(oracle_metrics["fp"] - ours["fp"]) <= 3
+    assert abs(oracle_metrics["mAP"] - ours["mAP"]) < 0.02
+    assert abs(oracle_metrics["avg_iou"] - ours["avg_iou"] * 100) < 2.0

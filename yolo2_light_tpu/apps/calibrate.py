@@ -1,0 +1,96 @@
+"""``detector calibrate`` app — produce INT8 ``input_calibration`` scales via KL
+entropy calibration over a dataset.
+
+Reference: validate_calibrate_valid (src/additionally.c:4902-5001) +
+network_calibrate_cpu (src/yolov2_forward_network.c:731-831).
+
+Per image, per conv layer: multiplier = entropy_calibration(conv_input, 1/16, 4096).
+The per-layer result written to input_calibration.txt reproduces the reference's
+accumulator indexing faithfully, including its quirks:
+
+* multipliers for image k (k = 1..max_num) land in slot ``k + i*max_num`` of a flat
+  array — so image max_num's multiplier for layer i lands in layer i+1's slot 0;
+* the saved value is the mean of slots 0..max_num-1 of the layer's stripe, i.e. the
+  mean over images 1..max_num-1 of this layer plus (for conv layers after the first)
+  the final-image multiplier of the *previous* conv layer.
+
+Deviation (documented): the reference's calibration forward only executes
+conv/maxpool/route/reorg/region layers, silently leaving upsample/shortcut/yolo
+outputs as zeros (src/yolov2_forward_network.c:779-830 has no cases for them), which
+corrupts downstream activations on yolov3-style nets. We run the full correct forward
+instead; for nets made only of handled layer types the two agree exactly.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..cfg import ConvSpec
+from ..datacfg import read_data_cfg
+from ..io import image as im_io
+from ..models.network import build_forward, params_to_device
+from ..quant import entropy_calibration
+from .detect import build_params
+
+
+def calibrate_multipliers(spec, params, image_arrays, max_num: int) -> list:
+    """Run calibration over ``image_arrays`` (list of [H,W,C] float32, already
+    resized); returns the per-conv-layer saved multipliers (reference accumulator
+    semantics). ``max_num`` = number of images used (reference default 1000)."""
+    import jax
+
+    fwd = build_forward(spec, "fp32", capture_conv_inputs=True)
+    dev_params = params_to_device(params)
+    jitted = jax.jit(lambda p, x: fwd(p, x)[1]["conv_inputs"])
+
+    conv_indices = [l.index for l in spec.layers if isinstance(l, ConvSpec)]
+    n_stripes = spec.n + 1  # +1: last conv's image-max_num write spills past its stripe
+    arr = np.zeros(n_stripes * max_num, np.float32)
+
+    counter = 0
+    for img in image_arrays[:max_num]:
+        counter += 1
+        conv_inputs = jitted(dev_params, img[None])
+        for stripe, (li, x) in enumerate(zip(conv_indices, conv_inputs)):
+            mult = entropy_calibration(np.asarray(x), 1.0 / 16, 4096)
+            print(f" multiplier = {mult:f}, l.inputs = {np.asarray(x).size} \n",
+                  file=sys.stderr)
+            # reference indexes by LAYER index i, not conv ordinal; stripes follow
+            # layer indices (src/yolov2_forward_network.c:792)
+            arr[counter + li * max_num] = mult
+            if counter >= max_num:
+                stripe_vals = arr[li * max_num: li * max_num + max_num]
+                res = float(stripe_vals.mean())
+                arr[li * max_num] = res
+                print(f" res_mult = {res:f}, max_num = {max_num} ",
+                      file=sys.stderr)
+    return [float(arr[li * max_num]) for li in conv_indices]
+
+
+def validate_calibrate(datacfg: str, cfgfile: str, weightfile, *,
+                       input_calibration: int = 0,
+                       out_path: str = "input_calibration.txt") -> list:
+    options = read_data_cfg(datacfg)
+    valid_images = options.get("valid", "data/train.txt")
+    print(f"valid={valid_images} ", file=sys.stderr)
+    if not input_calibration:
+        print("\n -input_calibration <number> - isn't specified in command line, "
+              "will be used 1000 images \n", file=sys.stderr)
+        input_calibration = 1000
+
+    spec, params, _ = build_params(cfgfile, weightfile, quantized=False)
+    with open(valid_images) as f:
+        paths = [l.strip() for l in f if l.strip()]
+    max_num = min(input_calibration, len(paths))
+
+    imgs = (im_io.resize_image(im_io.load_image(p, 3), spec.net.w, spec.net.h)
+            for p in paths[:max_num])
+    mults = calibrate_multipliers(spec, params, list(imgs), max_num)
+
+    line = "input_calibration = " + "".join(f"{m:g}, " for m in mults) + "16"
+    with open(out_path, "w") as f:
+        f.write(line)
+    print(line)
+    return mults

@@ -19,11 +19,10 @@ from ..weights import fuse_conv_batchnorm, load_weights, random_params
 from ..xnor import binarize_params
 
 
-def build_predictor(cfgfile: str, weightfile, quantized: bool = False,
-                    int8_policy: str = "cpu", batch: int = 1,
-                    compute_dtype=None, seed: int = 0):
-    """Shared init chain (reference: src/main.c:160-171 and :4552-4561)."""
-    import jax.numpy as jnp
+def build_params(cfgfile: str, weightfile, quantized: bool = False,
+                 batch: int = 1, seed: int = 0):
+    """Shared init chain (reference: src/main.c:160-171 and :4552-4561):
+    parse -> load/init -> BN-fuse -> XNOR-binarize -> (INT8-quantize)."""
     spec = parse_network_cfg(cfgfile, batch=batch, quantized=quantized)
     if weightfile:
         params = load_weights(spec, weightfile)
@@ -35,6 +34,15 @@ def build_predictor(cfgfile: str, weightfile, quantized: bool = False,
     if quantized:
         params = quantize_params(spec, params)
         mode = "int8"
+    return spec, params, mode
+
+
+def build_predictor(cfgfile: str, weightfile, quantized: bool = False,
+                    int8_policy: str = "cpu", batch: int = 1,
+                    compute_dtype=None, seed: int = 0):
+    import jax.numpy as jnp
+    spec, params, mode = build_params(cfgfile, weightfile, quantized,
+                                      batch=batch, seed=seed)
     cd = compute_dtype if compute_dtype is not None else jnp.float32
     pred = Predictor(spec, params, mode, int8_policy=int8_policy, compute_dtype=cd)
     return spec, pred

@@ -1,0 +1,83 @@
+"""``detector map`` app (reference: validate_detector_map, src/additionally.c:4541).
+
+TPU-native execution strategy: images stream through a thread-pooled loader (the
+analog of the reference's 4 pthread loaders, src/additionally.c:4584-4628) into
+device-sized batches; the fused DetectionPipeline processes a whole batch per step
+with double-buffering; matching/AP accounting runs on host in eval/map.py.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from ..datacfg import load_names, read_data_cfg
+from ..eval.map import (MapAccumulator, format_map_report, label_path_for,
+                        read_truth_boxes)
+from ..io import image as im_io
+from ..pipeline import DetectionPipeline
+from .detect import build_params
+
+
+def _load_one(path, netw, neth):
+    im = im_io.load_image(path, 3)
+    sized = im_io.resize_image(im, netw, neth)
+    return sized
+
+
+def validate_detector_map(datacfg: str, cfgfile: str, weightfile, *,
+                          thresh: float = 0.25, quantized: bool = False,
+                          iou_thresh: float = 0.5, int8_policy: str = "cpu",
+                          batch: int = 8, nthreads: int = 4,
+                          compute_dtype=None, k: int = 1024) -> dict:
+    import jax.numpy as jnp
+
+    options = read_data_cfg(datacfg)
+    valid_images = options.get("valid", "data/train.txt")
+    difficult_images = options.get("difficult")
+    names = load_names(options.get("names", "data/names.list"))
+
+    spec, params, mode = build_params(cfgfile, weightfile, quantized=quantized)
+    cd = compute_dtype if compute_dtype is not None else jnp.float32
+    pipe = DetectionPipeline(spec, params, mode,
+                             thresh=0.005, nms=0.45, k=k,
+                             int8_policy=int8_policy, compute_dtype=cd)
+    classes = pipe.classes
+
+    with open(valid_images) as f:
+        paths = [l.strip() for l in f if l.strip()]
+    dif_paths = None
+    if difficult_images:
+        with open(difficult_images) as f:
+            dif_paths = [l.strip() for l in f if l.strip()]
+
+    acc = MapAccumulator(classes=classes, iou_thresh=iou_thresh,
+                         thresh_calc_avg_iou=thresh)
+    start = time.time()
+    netw, neth = spec.net.w, spec.net.h
+
+    with ThreadPoolExecutor(max_workers=nthreads) as pool:
+        # submit all loads up front; consume in order, batch through the device
+        futures = [pool.submit(_load_one, p, netw, neth) for p in paths]
+        i = 0
+        while i < len(paths):
+            j = min(i + batch, len(paths))
+            imgs = np.stack([futures[t].result() for t in range(i, j)])
+            dets_list = pipe(imgs)
+            for t, dets in zip(range(i, j), dets_list):
+                print(f"{t + 1}", file=sys.stderr)
+                truth = read_truth_boxes(label_path_for(paths[t]))
+                truth_dif = None
+                if dif_paths is not None and t < len(dif_paths):
+                    truth_dif = read_truth_boxes(label_path_for(dif_paths[t]))
+                acc.add_image(dets, truth, truth_dif)
+            i = j
+
+    result = acc.compute()
+    print(format_map_report(result, names, iou_thresh, thresh))
+    print(f"Total Detection Time: {time.time() - start:f} Seconds",
+          file=sys.stderr)
+    return result
