@@ -271,3 +271,22 @@ def test_activations_against_scalar_formulas():
     for name, ref in cases.items():
         np.testing.assert_allclose(np.asarray(L.activate(jx, name)), ref,
                                    rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+def test_int8_conv_gpu_semantics():
+    """GPU INT8x4 flavor: no R_MULT requant, 0.1 leaky
+    (reference: src/yolov2_forward_network_gpu.cu:143-315)."""
+    rng = np.random.RandomState(12)
+    x = rng.randn(1, 6, 6, 4).astype(np.float32)
+    w8 = rng.randint(-127, 128, (3, 3, 4, 8)).astype(np.int8)
+    bias = rng.randn(8).astype(np.float32)
+    in_mult, w_mult = 13.7, 52.0
+    ours = np.asarray(L.conv2d_int8(jnp.asarray(x), jnp.asarray(w8),
+                                    jnp.asarray(bias), 1, 1, "leaky",
+                                    in_mult, w_mult, semantics="gpu"))
+    xi = np.clip(np.trunc(x * in_mult), -127, 127).astype(np.int32)
+    acc = ref_conv(_nchw(xi).astype(np.float32),
+                   np.transpose(w8, (3, 2, 0, 1)).astype(np.float32), 1, 1)
+    y = acc * (1.0 / (in_mult * w_mult)) + bias[None, :, None, None]
+    y = np.where(y > 0, y, 0.1 * y)
+    np.testing.assert_allclose(ours, _nhwc(y), rtol=1e-5, atol=1e-5)

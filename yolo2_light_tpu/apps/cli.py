@@ -34,7 +34,22 @@ def _find_value(args, name, default, cast=str):
     return default
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: repeat CLI invocations skip the (expensive,
+    possibly remote) compile step."""
+    import os
+    try:
+        import jax
+        d = os.path.expanduser("~/.cache/yolo2_light_tpu/xla")
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
+    _enable_compile_cache()
     args = list(sys.argv[1:] if argv is None else argv)
     if len(args) < 1:
         print("usage: yolo2-light-tpu <function>", file=sys.stderr)
@@ -53,6 +68,7 @@ def main(argv=None) -> int:
     out_filename = _find_value(args, "-out_filename", None)
     save_path = _find_value(args, "-save", "predictions")
     int8_policy = _find_value(args, "-int8_policy", "cpu")
+    xnor_kernel = _find_value(args, "-xnor_kernel", "int8")
     _find_value(args, "-i", 0, int)
     input_calibration = _find_value(args, "-input_calibration", 0, int)
 
@@ -76,7 +92,7 @@ def main(argv=None) -> int:
         names = load_names(obj_names)
         run(names, cfg, weights, filename, thresh=thresh, quantized=quantized,
             dont_show=dont_show, int8_policy=int8_policy, save_path=save_path,
-            letter=letterbox)
+            letter=letterbox, xnor_impl=xnor_kernel)
         return 0
     elif sub == "map":
         from .map import validate_detector_map

@@ -39,12 +39,13 @@ def build_params(cfgfile: str, weightfile, quantized: bool = False,
 
 def build_predictor(cfgfile: str, weightfile, quantized: bool = False,
                     int8_policy: str = "cpu", batch: int = 1,
-                    compute_dtype=None, seed: int = 0):
+                    compute_dtype=None, seed: int = 0, xnor_impl: str = "int8"):
     import jax.numpy as jnp
     spec, params, mode = build_params(cfgfile, weightfile, quantized,
                                       batch=batch, seed=seed)
     cd = compute_dtype if compute_dtype is not None else jnp.float32
-    pred = Predictor(spec, params, mode, int8_policy=int8_policy, compute_dtype=cd)
+    pred = Predictor(spec, params, mode, int8_policy=int8_policy,
+                     compute_dtype=cd, xnor_impl=xnor_impl)
     return spec, pred
 
 
@@ -71,9 +72,9 @@ def detect_image(pred, spec, filename: str, thresh: float, nms: float,
 def run(names, cfgfile: str, weightfile, filename: str, thresh: float = 0.24,
         quantized: bool = False, dont_show: bool = True,
         int8_policy: str = "cpu", save_path: str = "predictions",
-        letter: bool = False) -> str:
+        letter: bool = False, xnor_impl: str = "int8") -> str:
     spec, pred = build_predictor(cfgfile, weightfile, quantized,
-                                 int8_policy=int8_policy)
+                                 int8_policy=int8_policy, xnor_impl=xnor_impl)
     nms = 0.2 if quantized else 0.4  # reference: src/main.c:174,213
     dets, im, elapsed = detect_image(pred, spec, filename, thresh, nms, names,
                                      letter=letter)

@@ -104,9 +104,12 @@ def conv2d_fp32(x, weights, biases, stride: int, pad: int, activation: str,
 
 
 def conv2d_int8(x, weights_int8, biases, stride: int, pad: int, activation: str,
-                input_mult: float, weights_mult: float, r_mult: int = 32):
-    """INT8 conv path (reference: forward_convolutional_layer_q,
-    src/yolov2_forward_network_quantized.c:527-631).
+                input_mult: float, weights_mult: float, r_mult: int = 32,
+                semantics: str = "cpu"):
+    """INT8 conv path, in either of the reference's two flavors.
+
+    ``semantics="cpu"`` (reference: forward_convolutional_layer_q,
+    src/yolov2_forward_network_quantized.c:527-631):
 
       1. quantize input: int8 = clamp(trunc(x * input_mult), +-127)
          (C float->int16 cast truncates toward zero, then max_abs clamp)
@@ -115,12 +118,21 @@ def conv2d_int8(x, weights_int8, biases, stride: int, pad: int, activation: str,
       4. dequant: y = q * ALPHA1, ALPHA1 = R_MULT / (input_mult * weights_mult)
       5. y += float bias
       6. LEAKY is x>0 ? x : x/10 on this path (NOT 0.1*x)
+
+    ``semantics="gpu"`` (reference: forward_convolutional_layer_gpu_cudnn_quantized,
+    src/yolov2_forward_network_gpu.cu:143-315 — the cuDNN INT8x4 path behind the
+    53.60% mAP headline): same input quantization, then
+    y = leaky_0.1( acc_int32 * (1/(input_mult*weights_mult)) + bias ) — no R_MULT
+    requant/clamp, standard 0.1 leaky (src/gpu.cu:465).
     """
     xi = jnp.trunc(x * input_mult)
     xi = jnp.clip(xi, -127, 127).astype(jnp.int8)
     acc = lax.conv_general_dilated(
         xi, weights_int8, (stride, stride), [(pad, pad), (pad, pad)],
         dimension_numbers=_DIMNUMS, preferred_element_type=jnp.int32)
+    if semantics == "gpu":
+        y = acc.astype(jnp.float32) * (1.0 / (input_mult * weights_mult)) + biases
+        return activate(y, activation)
     # C integer division truncates toward zero; r_mult > 0
     q = jnp.where(acc >= 0, acc // r_mult, -((-acc) // r_mult))
     q = jnp.clip(q, -(256 * 128 - 1), 256 * 128 - 1)

@@ -57,7 +57,8 @@ def _int8_layer_set(spec: ModelSpec, policy: str) -> set:
 
 
 def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cpu",
-                  compute_dtype=jnp.float32, capture_conv_inputs: bool = False):
+                  compute_dtype=jnp.float32, capture_conv_inputs: bool = False,
+                  xnor_impl: str = "int8"):
     """Return ``forward(params, x)`` for the given spec.
 
     ``x``: [B, H, W, C] float32, NHWC, values in [0,1] (darknet image convention).
@@ -83,14 +84,24 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
                 if capture_conv_inputs:
                     conv_inputs.append(cur)
                 if l.xnor:
-                    cur = L.conv2d_xnor(
-                        cur, p["sign_weights"], p["mean_arr"], p["biases"],
-                        l.stride, l.pad, l.activation)
+                    if (xnor_impl == "pallas" and l.stride == 1 and l.pad == 1
+                            and "packed_weights" in p):
+                        from ..ops.pallas_xnor import conv2d_xnor_pallas
+                        cur = conv2d_xnor_pallas(
+                            cur, p["packed_weights"], p["mean_arr"],
+                            p["biases"], size=l.size, stride=l.stride,
+                            pad=l.pad, c_real=l.c,
+                            k_real=l.size * l.size * l.c,
+                            activation=l.activation)
+                    else:
+                        cur = L.conv2d_xnor(
+                            cur, p["sign_weights"], p["mean_arr"], p["biases"],
+                            l.stride, l.pad, l.activation)
                 elif i in int8_set:
                     cur = L.conv2d_int8(
                         cur, p["weights_int8"], p["biases"], l.stride, l.pad,
                         l.activation, p["input_quant_multipler"],
-                        p["weights_quant_multipler"])
+                        p["weights_quant_multipler"], semantics=int8_policy)
                 else:
                     bn = None
                     if "scales" in p:
@@ -146,12 +157,13 @@ class Predictor:
     """
 
     def __init__(self, spec: ModelSpec, params: list, mode: str = "fp32", *,
-                 int8_policy: str = "cpu", compute_dtype=jnp.float32):
+                 int8_policy: str = "cpu", compute_dtype=jnp.float32,
+                 xnor_impl: str = "int8"):
         self.spec = spec
         self.mode = mode
         self.params = params_to_device(params)
         fwd = build_forward(spec, mode, int8_policy=int8_policy,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype, xnor_impl=xnor_impl)
         # jit only carries arrays; head metadata (index/kind) is static and reattached
         self._head_meta = [(l.index, "yolo" if isinstance(l, YoloSpec) else "region")
                            for l in spec.layers

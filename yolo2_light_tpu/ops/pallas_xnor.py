@@ -1,0 +1,188 @@
+"""Bit-packed XNOR (BIT1) convolution as a Pallas popcount-GEMM kernel.
+
+This is the TPU capability-parity equivalent of the reference's binary GEMM stack
+(CPU AVX2: gemm_nn_custom_bin_mean_transposed, src/additionally.c:1185-1242; CUDA
+warp/tensor-core: src/gpu.cu:1566-2002). Bits live in int32 lanes; the kernel computes
+
+    C[m, n] = (2 * popcount(xnor(A_bits[m], B_bits[n])) - K) * mean[m] + bias[m]
+
+with optional fused leaky activation, exactly the reference epilogue
+(src/gpu.cu:1725-1737).
+
+Layout: the contraction (bit-feature) axis F sits on LANES (padded to 128); filters
+M and output pixels N sit on SUBLANES. Each program handles a [TM<=128, F] weight
+tile and a [TN, F] pixel tile; the per-filter loop is a static unroll using only
+static sublane row loads and width-1 static lane stores (Mosaic rejects dynamic
+lane indexing and width-1 lane LOADS, and >128-deep unrolls blow up compile time).
+Spatial zero-padding
+produces 0-bits == -1 activations, matching the reference's bit path (see
+models/layers.conv2d_xnor notes); channel padding bits are zero in both operands
+(always-match) and are subtracted as a constant.
+
+On TPU the MXU +-1 int8 path (models/layers.conv2d_xnor) is usually FASTER — the MXU
+does 8-bit MACs at ~4x the VPU's popcount lane throughput — but the bit kernel uses
+32x less weight memory and exercises the reference's true BIT1 storage format. Both
+produce identical results; see tests/test_pallas_xnor.py and bench_xnor.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Bit packing
+# ---------------------------------------------------------------------------
+
+
+def pack_weights(w_hwio: np.ndarray):
+    """Host-side weight packing: HWIO float weights -> (packed [F_pad8, M_pad128]
+    int32, mean [M], K_real). F (bit-features, int32 lanes of 32 channels each) on
+    sublanes, filters M on lanes. Bit order: feature f = c32*(KH*KW) + kh*KW + kw
+    (channel-lane-major, matching conv_general_dilated_patches), bit b of lane =
+    channel c32*32 + b; bit set iff weight > 0 (reference: binarize_weights,
+    src/additionally.c:113-126)."""
+    kh, kw, c, m = w_hwio.shape
+    mean = np.mean(np.abs(w_hwio), axis=(0, 1, 2)).astype(np.float32)
+    c32 = _round_up(c, 32) // 32
+    wp = np.zeros((kh, kw, c32 * 32, m), np.float32)
+    wp[:, :, :c, :] = w_hwio
+    bits = (wp > 0).astype(np.uint32).reshape(kh, kw, c32, 32, m)
+    shifts = (1 << np.arange(32, dtype=np.uint64)).astype(np.uint64)
+    lanes = (bits.astype(np.uint64) * shifts[None, None, None, :, None]).sum(3)
+    lanes = lanes.astype(np.uint32).view(np.int32)       # [kh, kw, c32, m]
+    # [M, F] with feature order (c32, kh, kw); M on sublanes (tile 128 per
+    # program), F on lanes (pad 128)
+    feat = np.transpose(lanes, (3, 2, 0, 1)).reshape(m, c32 * kh * kw)
+    f_pad = _round_up(feat.shape[1], 128)
+    # small filter counts: full-M blocks (no 128 pad -> shorter kernel unroll)
+    m_pad = _round_up(m, 8) if m <= 128 else _round_up(m, 128)
+    packed = np.zeros((m_pad, f_pad), np.int32)
+    packed[:m, : feat.shape[1]] = feat
+    k_real = kh * kw * c
+    return packed, mean, k_real
+
+
+def _pack_activations(x, c_real: int):
+    """Device-side: [B,H,W,C] float -> [B,H,W,C32] int32 lanes (bit = x > 0)."""
+    b, h, w, c = x.shape
+    c32 = _round_up(c_real, 32) // 32
+    pad_c = c32 * 32 - c
+    bits = (x > 0).astype(jnp.int32)
+    if pad_c:
+        bits = jnp.pad(bits, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
+    bits = bits.reshape(b, h, w, c32, 32)
+    shifts = jnp.asarray((np.uint32(1) << np.arange(32, dtype=np.uint32))
+                         .view(np.int32))
+    # each bit position appears once -> sum == bitwise or, no carries
+    packed = jnp.sum(bits * shifts, axis=-1).astype(jnp.int32)
+    return packed, c32
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _xnor_kernel(a_ref, b_ref, mean_ref, bias_ref, out_ref, *,
+                 tm: int, adjust: float, leaky: bool):
+    """Blocks: a [TM, F] int32 bits (TM<=128 filters on sublanes, F bit-features on
+    lanes), b [TN, F] int32 bits (TN output pixels on sublanes), mean/bias [1, TM]
+    f32, out [TN, TM] f32. For each filter m (static unroll over TM — Mosaic
+    handles static sublane row loads and width-1 static lane STORES, but not lane
+    loads or dynamic lane indexing): cnt = popcount-match over all F*32 bits;
+    out[:, m] = (2*cnt - adjust)*mean[m] + bias[m], optional fused leaky
+    (reference epilogue: src/gpu.cu:1725-1737)."""
+    b_bits = b_ref[:]                                  # [TN, F]
+    for m in range(tm):
+        a_row = a_ref[m:m + 1, :]                      # [1, F] static sublane row
+        xnor = jnp.bitwise_not(jnp.bitwise_xor(a_row, b_bits))
+        cnt = jnp.sum(lax.population_count(xnor), axis=1,
+                      keepdims=True).astype(jnp.float32)     # [TN, 1]
+        y = (2.0 * cnt - adjust) * mean_ref[0, m] + bias_ref[0, m]
+        if leaky:
+            y = jnp.where(y > 0, y, 0.1 * y)
+        out_ref[:, m:m + 1] = y
+
+
+def xnor_gemm(packed_w, mean, bias, patches, k_real: int, *,
+              activation: str = "leaky", tn: int = 128, interpret: bool = False):
+    """packed_w: [M_pad, F_pad] int32; patches: [N, F_pad] int32 (N on sublanes);
+    returns [N, M] f32 with fused mean/bias/activation epilogue."""
+    m_pad, f_pad = packed_w.shape
+    n = patches.shape[0]
+    n_pad = _round_up(n, tn)
+    if n_pad != n:
+        patches = jnp.pad(patches, ((0, n_pad - n), (0, 0)))
+    tm = min(128, m_pad)   # out block last dim: 128-aligned (or full m_pad)
+    m_real = mean.shape[0]
+    mean_p = jnp.zeros((1, m_pad), jnp.float32).at[0, :m_real].set(mean)
+    bias_p = jnp.zeros((1, m_pad), jnp.float32).at[0, :m_real].set(bias)
+    extra = f_pad * 32 - k_real
+    adjust = float(2 * extra + k_real)
+    leaky = activation == "leaky"
+    if activation not in ("leaky", "linear"):
+        raise NotImplementedError(activation)
+
+    grid = (m_pad // tm, n_pad // tn)
+    out = pl.pallas_call(
+        functools.partial(_xnor_kernel, tm=tm, adjust=adjust, leaky=leaky),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, f_pad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, f_pad), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tn, tm), lambda i, j: (j, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), jnp.float32),
+        interpret=interpret,
+    )(packed_w, patches, mean_p, bias_p)
+    return out[:n, :m_real]
+
+
+def conv2d_xnor_pallas(x, packed_w, mean, bias, *, size: int, stride: int,
+                       pad: int, c_real: int, k_real: int,
+                       activation: str = "leaky", interpret=None):
+    """Full BIT1 conv: pack input bits -> packed patch extraction -> popcount GEMM.
+
+    Valid for the reference bit-path domain (stride==1, pad==1 uses -1 border
+    semantics; this kernel always uses 0-bit borders == -1, so callers should gate on
+    the same condition the reference uses — see models/layers.conv2d_xnor).
+    ``x``: [B,H,W,C] f32. Returns [B,OH,OW,M] f32.
+    """
+    import jax as _jax
+    if interpret is None:  # Pallas compiled path needs a real TPU; else interpret
+        interpret = _jax.default_backend() != "tpu"
+    b, h, w, _ = x.shape
+    packed_x, c32 = _pack_activations(x, c_real)
+    # patches on int32 lanes; feature order (c32, kh, kw) matches pack_weights
+    patches = lax.conv_general_dilated_patches(
+        packed_x, (size, size), (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    oh, ow = patches.shape[1], patches.shape[2]
+    f = c32 * size * size
+    f_pad = packed_w.shape[1]
+    pt = patches.reshape(b * oh * ow, f)                 # [B*N, F]
+    if f_pad != f:
+        pt = jnp.pad(pt, ((0, 0), (0, f_pad - f)))
+    out = xnor_gemm(packed_w, mean, bias, pt, k_real,
+                    activation=activation, interpret=interpret)
+    m_real = mean.shape[0]
+    return out.reshape(b, oh, ow, m_real)

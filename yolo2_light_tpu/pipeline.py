@@ -33,7 +33,8 @@ class DetectionPipeline:
     def __init__(self, spec: ModelSpec, params: list, mode: str = "fp32", *,
                  thresh: float = 0.24, nms: float = 0.4, k: int = 256,
                  int8_policy: str = "cpu", compute_dtype=jnp.float32,
-                 letter: bool = False, packed_dtype=jnp.float32):
+                 letter: bool = False, packed_dtype=jnp.float32,
+                 xnor_impl: str = "int8"):
         self.spec = spec
         self.thresh = thresh
         self.nms = nms
@@ -44,7 +45,7 @@ class DetectionPipeline:
                            if isinstance(l, (YoloSpec, RegionSpec))]
         self.classes = self.head_specs[-1].classes
         fwd = build_forward(spec, mode, int8_policy=int8_policy,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype, xnor_impl=xnor_impl)
         netw, neth = spec.net.w, spec.net.h
         head_specs = self.head_specs
 

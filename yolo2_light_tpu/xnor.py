@@ -29,6 +29,11 @@ def binarize_params(spec: ModelSpec, params: list) -> list:
         mean = np.mean(np.abs(w), axis=(0, 1, 2)).astype(np.float32)
         q["mean_arr"] = mean
         q["sign_weights"] = np.where(w > 0, 1, -1).astype(np.int8)
+        # bit-packed form for the Pallas popcount kernel (ops/pallas_xnor.py);
+        # k_real is static (= size*size*c from the spec), not stored here
+        from .ops.pallas_xnor import pack_weights
+        packed, _, _ = pack_weights(w)
+        q["packed_weights"] = packed
         out.append(q)
     return out
 
