@@ -41,6 +41,10 @@ def resize_image(im: np.ndarray, w: int, h: int) -> np.ndarray:
     """
     ih, iw = im.shape[:2]
     im = im.astype(np.float32)
+    from ..native import resize_hwc_native
+    native = resize_hwc_native(im, w, h)
+    if native is not None:
+        return native
     w_scale = np.float32((iw - 1) / (w - 1)) if w > 1 else np.float32(0)
     h_scale = np.float32((ih - 1) / (h - 1)) if h > 1 else np.float32(0)
 

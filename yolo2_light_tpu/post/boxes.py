@@ -203,6 +203,10 @@ def do_nms_sort(dets: Detections, classes: int, thresh: float) -> Detections:
     """
     if dets.n == 0:
         return dets
+    from ..native import nms_sort_native
+    if dets.prob.flags["C_CONTIGUOUS"] and dets.prob.dtype == np.float32:
+        if nms_sort_native(dets.bbox, dets.prob, dets.objectness, thresh):
+            return dets
     live = dets.objectness != 0
     idx_live = np.nonzero(live)[0]
     bbox = dets.bbox[idx_live]
