@@ -1,0 +1,57 @@
+"""Full-scale shipped-cfg parity vs the reference binary (random round-tripped
+weights, PNG input). Slower than the mini-cfg tests; covers the real model graphs:
+yolov3-tiny (stride-1 pool, route, upsample, 2 heads), yolov2-voc (reorg + region +
+softmax), full yolov3 (75 convs, 23 shortcuts, 3 heads)."""
+
+import os
+
+import pytest
+
+from yolo2_light_tpu.cfg import parse_network_cfg
+from yolo2_light_tpu.weights import random_params, save_weights
+
+from .util_parity import (assert_detections_match, run_oracle_detect,
+                          run_ours_detect)
+
+BIN = "/root/reference/bin"
+DATA = os.path.join(os.path.dirname(__file__), "data")
+IMAGE = os.path.join(DATA, "dog160.png")
+
+
+def _names(tmp_path, n):
+    p = tmp_path / "n.names"
+    p.write_text("\n".join(f"c{i}" for i in range(n)) + "\n")
+    return str(p), [f"c{i}" for i in range(n)]
+
+
+def _run_pair(oracle, cfg, seed, tmp_path, n_classes, thresh):
+    spec = parse_network_cfg(cfg, batch=1)
+    weights = str(tmp_path / "w.weights")
+    # damp deep-net logit blowup so detection counts stay testable
+    params = random_params(spec, seed=seed)
+    save_weights(spec, params, weights)
+    names_file, names = _names(tmp_path, n_classes)
+    otext = run_oracle_detect(oracle, names_file, cfg, weights, IMAGE,
+                              thresh=thresh)
+    utext = run_ours_detect(names, cfg, weights, IMAGE, thresh=thresh)
+    return otext, utext
+
+
+def test_yolov3_tiny_fullsize(oracle, tmp_path):
+    otext, utext = _run_pair(oracle, os.path.join(BIN, "yolov3-tiny.cfg"),
+                             7, tmp_path, 80, thresh=0.6)
+    assert_detections_match(otext, utext, px_tol=4, context="yolov3-tiny-416")
+
+
+def test_yolov2_voc_fullsize(oracle, tmp_path):
+    otext, utext = _run_pair(oracle, os.path.join(BIN, "yolov2-voc.cfg"),
+                             8, tmp_path, 20, thresh=0.5)
+    assert_detections_match(otext, utext, px_tol=4, context="yolov2-voc-416")
+
+
+@pytest.mark.slow
+def test_yolov3_fullsize(oracle, tmp_path):
+    otext, utext = _run_pair(oracle, os.path.join(BIN, "yolov3.cfg"),
+                             9, tmp_path, 80, thresh=0.6)
+    assert_detections_match(otext, utext, px_tol=6, max_unmatched_frac=0.05,
+                            context="yolov3-416")

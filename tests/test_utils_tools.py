@@ -1,0 +1,48 @@
+"""Aux tooling: distribution viz, VOC label converter."""
+
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+
+def test_draw_distribution(tmp_path):
+    from yolo2_light_tpu.utils.distribution import draw_distribution
+    rng = np.random.RandomState(0)
+    arr = rng.randn(10000).astype(np.float32) * 0.05
+    out = str(tmp_path / "dist.png")
+    mult = draw_distribution(arr, "weights", out_path=out)
+    assert os.path.getsize(out) > 500
+    from yolo2_light_tpu.quant import get_multiplier
+    assert mult == get_multiplier(arr, 8)
+
+
+def test_voc_label_converter(tmp_path):
+    from yolo2_light_tpu.utils.voc_label import main
+    root = tmp_path / "VOCdevkit"
+    ann = root / "VOC2007" / "Annotations"
+    isets = root / "VOC2007" / "ImageSets" / "Main"
+    ann.mkdir(parents=True)
+    isets.mkdir(parents=True)
+    xml = """<annotation><size><width>100</width><height>200</height><depth>3</depth></size>
+    <object><name>dog</name><difficult>0</difficult>
+      <bndbox><xmin>10</xmin><xmax>50</xmax><ymin>20</ymin><ymax>120</ymax></bndbox></object>
+    <object><name>cat</name><difficult>1</difficult>
+      <bndbox><xmin>1</xmin><xmax>2</xmax><ymin>1</ymin><ymax>2</ymax></bndbox></object>
+    </annotation>"""
+    (ann / "000001.xml").write_text(xml)
+    (isets / "test.txt").write_text("000001\n")
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        main(["--root", "VOCdevkit", "--sets", "2007,test"])
+    finally:
+        os.chdir(cwd)
+    label = (root / "VOC2007" / "labels" / "000001.txt").read_text().strip()
+    parts = label.split("\n")
+    assert len(parts) == 1  # difficult cat excluded
+    vals = parts[0].split()
+    assert vals[0] == "11"  # dog class id
+    np.testing.assert_allclose([float(v) for v in vals[1:]],
+                               [0.3, 0.35, 0.4, 0.5], atol=1e-5)
+    assert (tmp_path / "2007_test.txt").read_text().strip().endswith("000001.jpg")

@@ -221,7 +221,7 @@ class RegionSpec(LayerSpec):
     jitter: float = 0.2
     rescore: int = 0
     bias_match: int = 0
-    softmax_tree: Optional[str] = None
+    softmax_tree: object = None        # Tree (yolo2_light_tpu.tree) or None
 
 
 @dataclass(frozen=True)
@@ -306,6 +306,21 @@ def _parse_net(s: Section) -> NetSpec:
         raise ValueError("No input parameters supplied")
     return NetSpec(batch=batch, w=w, h=h, c=c, inputs=inputs,
                    subdivisions=subdivs, input_calibration=calibration)
+
+
+def _load_tree(tree_file, cfg_path):
+    """Resolve and parse a [region]/[softmax] tree= file (reference passes the raw
+    path to read_tree, src/additionally.c:3602); we also try next to the cfg."""
+    if not tree_file:
+        return None
+    import os
+
+    from .tree import read_tree
+    if not os.path.exists(tree_file):
+        cand = os.path.join(os.path.dirname(os.path.abspath(cfg_path)), tree_file)
+        if os.path.exists(cand):
+            tree_file = cand
+    return read_tree(tree_file)
 
 
 def _conv_quant_eligible(index: int, activation: str, stride: int, size: int,
@@ -483,7 +498,8 @@ def parse_network_cfg(path: str, batch: int = 0, quantized: bool = False) -> Mod
                                jitter=s.find_float("jitter", 0.2),
                                rescore=s.find_int("rescore", 0),
                                bias_match=s.find_int("bias_match", 0),
-                               softmax_tree=s.find_str("tree", None))
+                               softmax_tree=_load_tree(s.find_str("tree", None),
+                                                       path))
             if layer.outputs != inputs:
                 raise ValueError("region layer outputs != inputs")
 

@@ -126,7 +126,12 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
                 heads.append(HeadOutput(i, "yolo",
                                         y.reshape(b, h, w, l.n, 5 + l.classes)))
             elif isinstance(l, RegionSpec):
-                y5 = L.region_head(cur, l.n, l.classes, l.coords, l.softmax)
+                tree_groups = None
+                if l.softmax_tree is not None:
+                    from ..tree import softmax_groups
+                    tree_groups = [gs for _, gs in softmax_groups(l.softmax_tree)]
+                y5 = L.region_head(cur, l.n, l.classes, l.coords, l.softmax,
+                                   softmax_tree_groups=tree_groups)
                 b, h, w = y5.shape[:3]
                 cur = y5.reshape(b, h, w, -1)
                 heads.append(HeadOutput(i, "region", y5))

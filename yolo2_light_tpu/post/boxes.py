@@ -110,7 +110,8 @@ def get_yolo_detections(head: np.ndarray, mask, anchors, classes: int,
 def get_region_detections(head: np.ndarray, anchors, classes: int, coords: int,
                           classfix: int, w: int, h: int, netw: int, neth: int,
                           thresh: float, relative: bool = True,
-                          letter: bool = False) -> Detections:
+                          letter: bool = False, tree=None,
+                          class_map=None) -> Detections:
     """Decode a region (YOLOv2) head
     (reference: custom_get_region_detections, src/additionally.c:4363-4384, and
     get_region_boxes_cpu, src/yolov2_forward_network.c:664-726).
@@ -134,8 +135,31 @@ def get_region_detections(head: np.ndarray, anchors, classes: int, coords: int,
     scale = head[..., coords].copy()
     if classfix == -1:
         scale[scale < 0.5] = 0.0
-    probs = head[..., coords + 1:] * scale[..., None]
-    probs[probs <= thresh] = 0.0
+    if tree is not None:
+        # YOLO9000 hierarchy decode (reference: get_region_boxes_cpu,
+        # src/yolov2_forward_network.c:688-716)
+        from ..tree import hierarchy_predictions
+        preds = hierarchy_predictions(head[..., coords + 1:], tree)
+        if class_map is not None:
+            # map-file path: prob = scale * preds[map[j]], zeroed at <= thresh
+            sel = preds[..., np.asarray(class_map)]
+            probs = sel * scale[..., None]
+            probs[probs <= thresh] = 0.0
+        else:
+            # keep only the deepest (highest-index) node with pred > 0.5 per box;
+            # prob_j = (scale > thresh) ? pred_j : 0
+            keep_idx = np.where(
+                (preds > 0.5).any(-1),
+                preds.shape[-1] - 1 - np.argmax((preds > 0.5)[..., ::-1], axis=-1),
+                -1)
+            probs = np.zeros_like(preds)
+            has = keep_idx >= 0
+            idx = np.nonzero(has)
+            probs[idx + (keep_idx[has],)] = preds[idx + (keep_idx[has],)]
+            probs = np.where((scale > thresh)[..., None], probs, 0.0)
+    else:
+        probs = head[..., coords + 1:] * scale[..., None]
+        probs[probs <= thresh] = 0.0
 
     # order: cell-major, anchor inner (index = cell*n + anchor) ✔
     bbox = np.stack([bx, by, bw, bh], axis=-1).reshape(lh * lw * n, 4)
@@ -162,7 +186,8 @@ def get_network_boxes(head_outputs, head_specs, w: int, h: int,
         elif isinstance(spec, RegionSpec):
             parts.append(get_region_detections(
                 out, spec.anchors, spec.classes, spec.coords, spec.classfix,
-                w, h, netw, neth, thresh, relative, letter))
+                w, h, netw, neth, thresh, relative, letter,
+                tree=spec.softmax_tree))
     if not parts:
         return Detections.empty(0)
     return Detections.concat(parts)
