@@ -89,3 +89,24 @@ def test_map_parity(oracle, dataset, tmp_path):
     assert abs(oracle_metrics["fp"] - ours["fp"]) <= 3
     assert abs(oracle_metrics["mAP"] - ours["mAP"]) < 0.02
     assert abs(oracle_metrics["avg_iou"] - ours["avg_iou"] * 100) < 2.0
+
+
+def test_map_data_parallel_matches_single(dataset, tmp_path):
+    """Sharded (8-virtual-device) evaluation must give identical metrics."""
+    import jax
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 devices")
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec = parse_network_cfg(cfg, batch=1)
+    weights = str(tmp_path / "w.weights")
+    save_weights(spec, random_params(spec, seed=11), weights)
+    from yolo2_light_tpu.apps.map import validate_detector_map
+    single = validate_detector_map(dataset["data"], cfg, weights, thresh=0.24,
+                                   batch=3, k=4096)
+    sharded = validate_detector_map(dataset["data"], cfg, weights, thresh=0.24,
+                                    batch=8, k=4096, data_parallel=8)
+    assert single["unique_truth_count"] == sharded["unique_truth_count"]
+    assert single["tp"] == sharded["tp"]
+    assert single["fp"] == sharded["fp"]
+    assert abs(single["mAP"] - sharded["mAP"]) < 1e-6

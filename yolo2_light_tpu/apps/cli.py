@@ -71,6 +71,7 @@ def main(argv=None) -> int:
     xnor_kernel = _find_value(args, "-xnor_kernel", "int8")
     _find_value(args, "-i", 0, int)
     input_calibration = _find_value(args, "-input_calibration", 0, int)
+    data_parallel = _find_value(args, "-parallel", 0, int)
 
     if len(args) < 2:
         print("usage: yolo2-light-tpu detector [test/map/calibrate/demo] "
@@ -98,7 +99,8 @@ def main(argv=None) -> int:
         from .map import validate_detector_map
         validate_detector_map(obj_names, cfg, weights, thresh=thresh,
                               quantized=quantized, iou_thresh=iou_thresh,
-                              int8_policy=int8_policy)
+                              int8_policy=int8_policy,
+                              data_parallel=data_parallel)
         return 0
     elif sub == "calibrate":
         from .calibrate import validate_calibrate

@@ -32,7 +32,8 @@ def validate_detector_map(datacfg: str, cfgfile: str, weightfile, *,
                           thresh: float = 0.25, quantized: bool = False,
                           iou_thresh: float = 0.5, int8_policy: str = "cpu",
                           batch: int = 8, nthreads: int = 4,
-                          compute_dtype=None, k: int = 1024) -> dict:
+                          compute_dtype=None, k: int = 1024,
+                          data_parallel: int = 0) -> dict:
     import jax.numpy as jnp
 
     options = read_data_cfg(datacfg)
@@ -42,9 +43,16 @@ def validate_detector_map(datacfg: str, cfgfile: str, weightfile, *,
 
     spec, params, mode = build_params(cfgfile, weightfile, quantized=quantized)
     cd = compute_dtype if compute_dtype is not None else jnp.float32
+    mesh = None
+    if data_parallel > 1:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(data_parallel, data=data_parallel, model=1)
+        batch = max(batch, data_parallel)
+        batch -= batch % data_parallel  # keep shards even
     pipe = DetectionPipeline(spec, params, mode,
                              thresh=0.005, nms=0.45, k=k,
-                             int8_policy=int8_policy, compute_dtype=cd)
+                             int8_policy=int8_policy, compute_dtype=cd,
+                             mesh=mesh)
     classes = pipe.classes
 
     with open(valid_images) as f:
@@ -66,7 +74,11 @@ def validate_detector_map(datacfg: str, cfgfile: str, weightfile, *,
         while i < len(paths):
             j = min(i + batch, len(paths))
             imgs = np.stack([futures[t].result() for t in range(i, j)])
-            dets_list = pipe(imgs)
+            if pipe.data_parallel > 1 and imgs.shape[0] % pipe.data_parallel:
+                # pad the tail batch to a shardable size; extras are dropped below
+                pad = pipe.data_parallel - imgs.shape[0] % pipe.data_parallel
+                imgs = np.concatenate([imgs, np.zeros_like(imgs[:pad])])
+            dets_list = pipe(imgs)[: j - i]
             for t, dets in zip(range(i, j), dets_list):
                 print(f"{t + 1}", file=sys.stderr)
                 truth = read_truth_boxes(label_path_for(paths[t]))

@@ -34,7 +34,7 @@ class DetectionPipeline:
                  thresh: float = 0.24, nms: float = 0.4, k: int = 256,
                  int8_policy: str = "cpu", compute_dtype=jnp.float32,
                  letter: bool = False, packed_dtype=jnp.float32,
-                 xnor_impl: str = "int8"):
+                 xnor_impl: str = "int8", mesh=None):
         self.spec = spec
         self.thresh = thresh
         self.nms = nms
@@ -57,7 +57,19 @@ class DetectionPipeline:
                                                head_specs, netw, neth, thresh, k)
             return packed.astype(packed_dtype)
 
-        self._jitted = jax.jit(run)
+        if mesh is not None:
+            # data-parallel sharding over the batch axis: each chip runs the full
+            # net on its shard of images; no collectives needed (SURVEY §2.8 —
+            # the idiomatic TPU analog of the reference's 4-thread loader)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            x_sharding = NamedSharding(mesh, P("data", None, None, None))
+            out_sharding = NamedSharding(mesh, P("data", None, None))
+            self._jitted = jax.jit(run, in_shardings=(None, x_sharding),
+                                   out_shardings=out_sharding)
+            self.data_parallel = int(mesh.shape["data"])
+        else:
+            self._jitted = jax.jit(run)
+            self.data_parallel = 1
 
     def raw(self, images):
         """Packed device output [B,K,4+1+classes] — still on device."""
