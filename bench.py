@@ -106,6 +106,34 @@ def main():
         if img_s > best[0]:
             best = (img_s, batch)
 
+    # secondary: device-resident throughput (input already on-chip) — what the
+    # chip itself sustains without this environment's ~60MB/s host tunnel
+    try:
+        import jax.numpy as jnp
+        from yolo2_light_tpu.models.network import build_forward, params_to_device
+        fwd = build_forward(spec, "fp32", compute_dtype=jnp.bfloat16)
+        p = params_to_device(params)
+        REP = 10
+        batch = 32
+
+        def dev_loop(x):
+            def body(i, acc):
+                heads, _ = fwd(p, x + acc * 1e-12)  # defeat loop hoisting
+                return acc + jnp.sum(heads[0].data[..., 4])
+            return jax.lax.fori_loop(0, REP, body, 0.0)
+
+        f = jax.jit(dev_loop)
+        x = jnp.asarray(np.random.rand(batch, spec.net.h, spec.net.w,
+                                       spec.net.c).astype(np.float32))
+        float(f(x))
+        t0 = time.perf_counter()
+        float(f(x))
+        dt = (time.perf_counter() - t0) / REP
+        log(f"device-resident fp32(bf16) forward: {dt * 1e3 / batch:.3f} ms/img "
+            f"-> {batch / dt:.0f} img/s")
+    except Exception as e:
+        log(f"device-resident probe failed: {e}")
+
     value = round(best[0], 2)
     print(json.dumps({
         "metric": "yolov3-416_fp32_img_s",
