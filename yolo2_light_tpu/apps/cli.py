@@ -72,6 +72,7 @@ def main(argv=None) -> int:
     _find_value(args, "-i", 0, int)
     input_calibration = _find_value(args, "-input_calibration", 0, int)
     data_parallel = _find_value(args, "-parallel", 0, int)
+    profile_dir = _find_value(args, "-profile", None)
 
     if len(args) < 2:
         print("usage: yolo2-light-tpu detector [test/map/calibrate/demo] "
@@ -91,9 +92,17 @@ def main(argv=None) -> int:
         from ..datacfg import load_names
         from .detect import run
         names = load_names(obj_names)
-        run(names, cfg, weights, filename, thresh=thresh, quantized=quantized,
-            dont_show=dont_show, int8_policy=int8_policy, save_path=save_path,
-            letter=letterbox, xnor_impl=xnor_kernel)
+        if profile_dir:
+            from ..utils.profiling import trace
+            with trace(profile_dir):
+                run(names, cfg, weights, filename, thresh=thresh,
+                    quantized=quantized, dont_show=dont_show,
+                    int8_policy=int8_policy, save_path=save_path,
+                    letter=letterbox, xnor_impl=xnor_kernel)
+        else:
+            run(names, cfg, weights, filename, thresh=thresh, quantized=quantized,
+                dont_show=dont_show, int8_policy=int8_policy, save_path=save_path,
+                letter=letterbox, xnor_impl=xnor_kernel)
         return 0
     elif sub == "map":
         from .map import validate_detector_map

@@ -179,6 +179,53 @@ def conv2d_xnor(x, sign_weights_int8, mean_arr, biases, stride: int, pad: int,
     return activate(y, activation)
 
 
+def conv2d_int8_old(x_int8, weights_int8, biases_quant, output_multipler,
+                    stride: int, pad: int, activation: str,
+                    r_mult: int = 32):
+    """Legacy fully-INT8 conv (reference: forward_convolutional_layer_q_old,
+    src/yolov2_forward_network_quantized.c:636-801 — kept in the reference but
+    unreachable from its CLI; reproduced for capability parity).
+
+    int8 in -> int8/float out, all-integer chaining:
+      q1 = clamp(trunc_div(acc_int32, R_MULT), +-32767)
+      q2 = trunc(q1 * output_multipler)            (int16 store)
+      q3 = trunc(q2 + biases_quant)                (quantized float bias)
+      q4 = leaky: q3>0 ? q3 : trunc_div(q3, 10)
+      returns (float_out = q4/16, int8_out = clamp(q4, +-127))
+    """
+    acc = lax.conv_general_dilated(
+        x_int8, weights_int8, (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=_DIMNUMS, preferred_element_type=jnp.int32)
+    q = jnp.where(acc >= 0, acc // r_mult, -((-acc) // r_mult))
+    q = jnp.clip(q, -(256 * 128 - 1), 256 * 128 - 1).astype(jnp.float32)
+    q = jnp.trunc(q * output_multipler)
+    q = jnp.trunc(q + biases_quant)
+    if activation == "leaky":
+        q = jnp.where(q > 0, q, jnp.trunc(q / 10.0))
+    elif activation != "linear":
+        raise NotImplementedError(activation)
+    float_out = q / 16.0
+    int8_out = jnp.clip(q, -127, 127).astype(jnp.int8)
+    return float_out, int8_out
+
+
+def maxpool_int8_old(x_int8, size: int, stride: int, pad: int,
+                     out_w: int, out_h: int):
+    """Legacy int8 maxpool (reference: forward_maxpool_layer_q,
+    src/yolov2_forward_network_quantized.c:806-849): window origin at ``-pad``
+    (NOT -pad/2 like the fp32 path), out-of-bounds values are MIN_INT8."""
+    h, w = x_int8.shape[1], x_int8.shape[2]
+    lo = pad
+    hi_h = max(0, (out_h - 1) * stride + size - lo - h)
+    hi_w = max(0, (out_w - 1) * stride + size - lo - w)
+    y = lax.reduce_window(
+        x_int8.astype(jnp.int32), -128, lax.max,
+        window_dimensions=(1, size, size, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (lo, hi_h), (lo, hi_w), (0, 0)))
+    return y[:, :out_h, :out_w, :].astype(jnp.int8)
+
+
 # ---------------------------------------------------------------------------
 # Maxpool
 # ---------------------------------------------------------------------------

@@ -70,6 +70,8 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
     dict (contains ``conv_inputs`` list when ``capture_conv_inputs``; and ``final`` =
     last layer output).
     """
+    if mode == "int8" and int8_policy == "cpu_old":
+        return build_forward_int8_old(spec)
     int8_set = _int8_layer_set(spec, int8_policy) if mode == "int8" else set()
 
     def forward(params, x):
@@ -145,6 +147,73 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
         if capture_conv_inputs:
             aux["conv_inputs"] = conv_inputs
         return tuple(heads), aux
+
+    return forward
+
+
+def build_forward_int8_old(spec: ModelSpec):
+    """Legacy fully-INT8 pipeline (reference: yolov2_forward_network_q_old +
+    network_predict_quantized_old, src/yolov2_forward_network_quantized.c:1092-1211
+    — present in the reference but unreachable from its CLI).
+
+    int8 activations chain between layers; conv layers with LINEAR activation (and
+    layer 0) run fp32; after layer 0 the int8 chain re-quantizes with the
+    reference's hardcoded 3.88677 scale (src/yolov2_forward_network_quantized.c:1147).
+    Only conv/maxpool/route/reorg/region layers are supported, exactly like the
+    reference's dispatch (upsample/shortcut/yolo are commented out there).
+    """
+    def forward(params, x):
+        float_outs: dict[int, jax.Array] = {}
+        int8_outs: dict[int, jax.Array] = {}
+        heads: list[HeadOutput] = []
+        cur_f = x
+        cur_i8 = jnp.clip(jnp.trunc(x * 0.0), -127, 127).astype(jnp.int8)
+        for l in spec.layers:
+            i = l.index
+            if isinstance(l, ConvSpec):
+                p = params[i]
+                if i >= 1 and l.activation != "linear":
+                    nxt = spec.layers[i + 1] if i + 1 < spec.n else None
+                    cur_f, cur_i8 = L.conv2d_int8_old(
+                        cur_i8, p["weights_int8"], p["biases_quant"],
+                        p["output_multipler"], l.stride, l.pad, l.activation)
+                    del nxt  # return_float computed unconditionally (both outputs)
+                else:
+                    bn = None
+                    if "scales" in p:
+                        bn = (p["scales"], p["rolling_mean"],
+                              p["rolling_variance"])
+                    cur_f = L.conv2d_fp32(cur_f, p["weights"], p["biases"],
+                                          l.stride, l.pad, l.activation, bn=bn)
+                    cur_i8 = jnp.zeros(cur_f.shape, jnp.int8)
+                    if i == 0:
+                        # hardcoded re-quantization of layer-0 output
+                        cur_i8 = jnp.clip(jnp.trunc(cur_f * 3.88677),
+                                          -127, 127).astype(jnp.int8)
+            elif isinstance(l, MaxpoolSpec):
+                cur_i8 = L.maxpool_int8_old(cur_i8, l.size, l.stride, l.pad,
+                                            l.out_w, l.out_h)
+                cur_f = jnp.zeros(cur_i8.shape, jnp.float32)
+            elif isinstance(l, RouteSpec):
+                cur_i8 = jnp.concatenate([int8_outs[j] for j in l.layers],
+                                         axis=-1)
+                cur_f = jnp.zeros(cur_i8.shape, jnp.float32)
+            elif isinstance(l, ReorgSpec):
+                cur_i8 = L.reorg(cur_i8, l.stride, l.reverse)
+                cur_f = jnp.zeros(cur_i8.shape, jnp.float32)
+            elif isinstance(l, RegionSpec):
+                y5 = L.region_head(cur_f, l.n, l.classes, l.coords, l.softmax)
+                b, h, w = y5.shape[:3]
+                cur_f = y5.reshape(b, h, w, -1)
+                heads.append(HeadOutput(i, "region", y5))
+            else:
+                raise NotImplementedError(
+                    f"{type(l).__name__} is not supported by the reference's "
+                    "old INT8 pipeline (src/yolov2_forward_network_quantized.c:"
+                    "1121-1133 comments it out)")
+            float_outs[i] = cur_f
+            int8_outs[i] = cur_i8
+        return tuple(heads), {"final": cur_f}
 
     return forward
 
