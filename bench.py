@@ -87,7 +87,7 @@ def main():
         def run():
             # streamed frame->boxes: H2D/compute/D2H/host-NMS overlapped
             total = 0
-            for dets in pipe.stream([x] * n_batches, depth=3):
+            for dets in pipe.stream([x] * n_batches, depth=2, workers=1):
                 total += len(dets)
             return total
 

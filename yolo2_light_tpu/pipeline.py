@@ -87,37 +87,50 @@ class DetectionPipeline:
             out.append(self._finish(packed[i], w, h))
         return out
 
-    def stream(self, batches, im_sizes_iter=None, depth: int = 2):
-        """Pipelined streaming inference: keeps ``depth`` batches in flight so H2D,
-        device compute, D2H and host NMS overlap (the TPU-native analog of the
-        reference demo's fetch/detect thread pair, src/main.c:490-572).
+    def stream(self, batches, im_sizes_iter=None, depth: int = 2,
+               workers: int = 1):
+        """Pipelined streaming inference: keeps ``depth`` batches in flight on the
+        device AND runs the host finish stage (D2H fetch + NMS) in ``workers``
+        threads, so H2D, device compute, D2H and host NMS all overlap. One worker
+        is optimal on relay-attached chips (concurrent fetches contend); more can
+        help with direct-attached hardware (the
+        TPU-native analog of the reference demo's fetch/detect thread pair,
+        src/main.c:490-572; the native C++ NMS releases the GIL during the call).
 
-        ``batches``: iterable of [B,H,W,C] arrays. Yields lists of Detections.
+        ``batches``: iterable of [B,H,W,C] arrays. Yields lists of Detections in
+        submission order.
         """
         from collections import deque
-        inflight = deque()
-        it = iter(batches)
-        sizes_it = iter(im_sizes_iter) if im_sizes_iter is not None else None
-        done = False
-        while True:
-            while not done and len(inflight) < depth:
-                try:
-                    xb = next(it)
-                except StopIteration:
-                    done = True
-                    break
-                sizes = next(sizes_it) if sizes_it is not None else None
-                inflight.append((self.raw(xb), sizes))
-            if not inflight:
-                return
-            packed_dev, sizes = inflight.popleft()
+        from concurrent.futures import ThreadPoolExecutor
+
+        netw, neth = self.spec.net.w, self.spec.net.h
+
+        def finish_batch(packed_dev, sizes):
             packed = np.asarray(packed_dev).astype(np.float32)
-            netw, neth = self.spec.net.w, self.spec.net.h
             out = []
             for i in range(packed.shape[0]):
                 w, h = sizes[i] if sizes is not None else (netw, neth)
                 out.append(self._finish(packed[i], w, h))
-            yield out
+            return out
+
+        it = iter(batches)
+        sizes_it = iter(im_sizes_iter) if im_sizes_iter is not None else None
+        inflight: deque = deque()
+        done = False
+        with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+            while True:
+                while not done and len(inflight) < depth:
+                    try:
+                        xb = next(it)
+                    except StopIteration:
+                        done = True
+                        break
+                    sizes = (next(sizes_it) if sizes_it is not None else None)
+                    inflight.append(pool.submit(finish_batch, self.raw(xb),
+                                                sizes))
+                if not inflight:
+                    return
+                yield inflight.popleft().result()
 
     def _finish(self, packed_i: np.ndarray, w: int, h: int):
         boxes = packed_i[:, :4]
