@@ -57,3 +57,30 @@ def test_cli_usage_errors():
     r = subprocess.run([sys.executable, "-m", "yolo2_light_tpu", "nope"],
                        capture_output=True, text=True, env=env, cwd=REPO)
     assert "Not an option" in r.stderr
+
+
+def test_cli_missing_files():
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    r = subprocess.run([sys.executable, "-m", "yolo2_light_tpu", "detector",
+                        "test", "/nope.names", "/nope.cfg"],
+                       capture_output=True, text=True, env=env, cwd=REPO)
+    assert r.returncode == 1
+    assert "Couldn't open file" in r.stderr
+
+
+def test_params_cache_roundtrip(tmp_path):
+    from yolo2_light_tpu.cfg import parse_network_cfg
+    from yolo2_light_tpu.weights import (fuse_conv_batchnorm, load_params_cache,
+                                         random_params, save_params_cache)
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec = parse_network_cfg(cfg, batch=1)
+    params = fuse_conv_batchnorm(spec, random_params(spec, seed=0))
+    p = str(tmp_path / "cache.npz")
+    save_params_cache(params, p)
+    back = load_params_cache(p, spec.n)
+    for a, b in zip(params, back):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(np.asarray(a[k]), b[k])

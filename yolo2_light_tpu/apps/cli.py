@@ -50,6 +50,15 @@ def _enable_compile_cache():
 
 def main(argv=None) -> int:
     _enable_compile_cache()
+    try:
+        return _main(argv)
+    except FileNotFoundError as e:
+        # reference: file_error() prints and exits (src/additionally.c:1601-1606)
+        print(f"Couldn't open file: {e.filename or e}", file=sys.stderr)
+        return 1
+
+
+def _main(argv=None) -> int:
     args = list(sys.argv[1:] if argv is None else argv)
     if len(args) < 1:
         print("usage: yolo2-light-tpu <function>", file=sys.stderr)

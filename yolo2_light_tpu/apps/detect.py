@@ -78,7 +78,10 @@ def run(names, cfgfile: str, weightfile, filename: str, thresh: float = 0.24,
     nms = 0.2 if quantized else 0.4  # reference: src/main.c:174,213
     dets, im, elapsed = detect_image(pred, spec, filename, thresh, nms, names,
                                      letter=letter)
-    print(f"{filename}: Predicted in {elapsed:f} seconds.")
+    note = ""
+    if elapsed > 2.0:
+        note = " (first call includes XLA compilation; repeat runs are warm)"
+    print(f"{filename}: Predicted in {elapsed:f} seconds.{note}")
     classes = pred.head_specs()[-1].classes
     text = post.format_detections(dets, names, thresh, im.shape[1], im.shape[0])
     if text:

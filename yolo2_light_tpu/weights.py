@@ -147,3 +147,34 @@ def fuse_conv_batchnorm(spec: ModelSpec, params: list) -> list:
 
 def is_fused(params: list) -> bool:
     return all(p is None or "scales" not in p for p in params)
+
+
+# ---------------------------------------------------------------------------
+# Converted-params cache (SURVEY §5 checkpoint/resume: the reference only ever
+# reads .weights; we add an optional cache of the fused/quantized/binarized
+# pytree so repeated runs skip parse+transform)
+# ---------------------------------------------------------------------------
+
+
+def save_params_cache(params: list, path: str) -> None:
+    """Serialize a params list (with Nones) to one .npz file."""
+    flat = {}
+    for i, p in enumerate(params):
+        if p is None:
+            continue
+        for k, v in p.items():
+            flat[f"{i}:{k}"] = np.asarray(v)
+    np.savez(path, **flat)
+
+
+def load_params_cache(path: str, n_layers: int) -> list:
+    """Inverse of save_params_cache."""
+    params: list = [None] * n_layers
+    with np.load(path) as z:
+        for key in z.files:
+            i_str, _, k = key.partition(":")
+            i = int(i_str)
+            if params[i] is None:
+                params[i] = {}
+            params[i][k] = z[key]
+    return params
