@@ -69,23 +69,39 @@ def detect_image(pred, spec, filename: str, thresh: float, nms: float,
     return dets, im, elapsed
 
 
-def run(names, cfgfile: str, weightfile, filename: str, thresh: float = 0.24,
+def run(names, cfgfile: str, weightfile, filename, thresh: float = 0.24,
         quantized: bool = False, dont_show: bool = True,
         int8_policy: str = "cpu", save_path: str = "predictions",
         letter: bool = False, xnor_impl: str = "int8") -> str:
+    """Single-image detect; with no filename, loops reading image paths from stdin
+    (reference: test_detector_cpu while(1) fgets loop, src/main.c:176-186)."""
     spec, pred = build_predictor(cfgfile, weightfile, quantized,
                                  int8_policy=int8_policy, xnor_impl=xnor_impl)
     nms = 0.2 if quantized else 0.4  # reference: src/main.c:174,213
-    dets, im, elapsed = detect_image(pred, spec, filename, thresh, nms, names,
-                                     letter=letter)
-    note = ""
-    if elapsed > 2.0:
-        note = " (first call includes XLA compilation; repeat runs are warm)"
-    print(f"{filename}: Predicted in {elapsed:f} seconds.{note}")
     classes = pred.head_specs()[-1].classes
-    text = post.format_detections(dets, names, thresh, im.shape[1], im.shape[0])
-    if text:
-        print(text)
-    im_io.draw_detections(im, dets, names, thresh, classes)
-    im_io.save_image_png(im, save_path)
-    return text
+    text = ""
+    while True:
+        fname = filename
+        if fname is None:
+            import sys
+            print("Enter Image Path: ", end="", flush=True)
+            line = sys.stdin.readline()
+            if not line:
+                return text
+            fname = line.strip()
+            if not fname:
+                continue
+        dets, im, elapsed = detect_image(pred, spec, fname, thresh, nms, names,
+                                         letter=letter)
+        note = ""
+        if elapsed > 2.0:
+            note = " (first call includes XLA compilation; repeat runs are warm)"
+        print(f"{fname}: Predicted in {elapsed:f} seconds.{note}")
+        text = post.format_detections(dets, names, thresh, im.shape[1],
+                                      im.shape[0])
+        if text:
+            print(text)
+        im_io.draw_detections(im, dets, names, thresh, classes)
+        im_io.save_image_png(im, save_path)
+        if filename is not None:
+            return text

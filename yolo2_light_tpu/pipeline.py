@@ -40,6 +40,11 @@ class DetectionPipeline:
         self.nms = nms
         self.k = k
         self.letter = letter
+        self._mode = mode
+        self._int8_policy = int8_policy
+        self._compute_dtype = compute_dtype
+        self._xnor_impl = xnor_impl
+        self._mesh = mesh
         self.params = params_to_device(params)
         self.head_specs = [l for l in spec.layers
                            if isinstance(l, (YoloSpec, RegionSpec))]
@@ -78,14 +83,39 @@ class DetectionPipeline:
     def __call__(self, images, im_sizes=None):
         """Full pipeline for a batch. ``im_sizes``: list of (w,h) original image sizes
         for coordinate correction (defaults to net dims). Returns list[Detections]
-        after exact per-class NMS."""
+        after exact per-class NMS.
+
+        If the candidate buffer saturates (all K slots used — detections may have
+        been dropped), the batch transparently re-runs with K x4, up to 4096.
+        """
         packed = np.asarray(self.raw(images)).astype(np.float32)  # one D2H transfer
+        if (packed.shape[1] == self.k and self.k < 4096
+                and bool((packed[:, :, 5:].max(axis=-1) > 0).all(axis=-1).any())):
+            import sys
+            new_k = min(4096, self.k * 4)
+            print(f"note: candidate buffer K={self.k} saturated; re-running "
+                  f"batch with K={new_k}", file=sys.stderr)
+            grown = self._grown(new_k)
+            return grown(images, im_sizes)
         netw, neth = self.spec.net.w, self.spec.net.h
         out = []
         for i in range(packed.shape[0]):
             w, h = im_sizes[i] if im_sizes is not None else (netw, neth)
             out.append(self._finish(packed[i], w, h))
         return out
+
+    def _grown(self, new_k: int) -> "DetectionPipeline":
+        """A pipeline identical to this one but with a larger candidate buffer
+        (cached so repeated saturation doesn't recompile every batch)."""
+        cached = getattr(self, "_grown_cache", None)
+        if cached is None or cached.k != new_k:
+            cached = DetectionPipeline(
+                self.spec, self.params, self._mode, thresh=self.thresh,
+                nms=self.nms, k=new_k, int8_policy=self._int8_policy,
+                compute_dtype=self._compute_dtype, letter=self.letter,
+                xnor_impl=self._xnor_impl, mesh=self._mesh)
+            self._grown_cache = cached
+        return cached
 
     def stream(self, batches, im_sizes_iter=None, depth: int = 2,
                workers: int = 1):
