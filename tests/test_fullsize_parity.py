@@ -55,3 +55,30 @@ def test_yolov3_fullsize(oracle, tmp_path):
                              9, tmp_path, 80, thresh=0.6)
     assert_detections_match(otext, utext, px_tol=6, max_unmatched_frac=0.05,
                             context="yolov3-416")
+
+
+@pytest.mark.slow
+def test_yolov3_spp_fullsize(oracle, tmp_path):
+    """SPP block: route-of-maxpools (5/9/13 stride-1) + 3 heads."""
+    otext, utext = _run_pair(oracle, os.path.join(BIN, "yolov3-spp.cfg"),
+                             10, tmp_path, 80, thresh=0.6)
+    assert_detections_match(otext, utext, px_tol=6, max_unmatched_frac=0.05,
+                            context="yolov3-spp-416")
+
+
+@pytest.mark.slow
+def test_yolov3_tiny_int8_fullsize(oracle, tmp_path):
+    """Full-size INT8 pipeline with the shipped input_calibration scales."""
+    cfg = os.path.join(BIN, "yolov3-tiny.cfg")
+    spec = parse_network_cfg(cfg, batch=1)
+    weights = str(tmp_path / "w.weights")
+    save_weights(spec, random_params(spec, seed=12), weights)
+    names_file, names = _names(tmp_path, 80)
+    from .util_parity import run_oracle_detect, run_ours_detect
+    otext = run_oracle_detect(oracle, names_file, cfg, weights, IMAGE,
+                              thresh=0.5, quantized=True)
+    utext = run_ours_detect(names, cfg, weights, IMAGE, thresh=0.5,
+                            quantized=True)
+    assert_detections_match(otext, utext, conf_tol=3, px_tol=5,
+                            max_unmatched_frac=0.05,
+                            context="yolov3-tiny-416-int8")

@@ -290,3 +290,29 @@ def test_int8_conv_gpu_semantics():
     y = acc * (1.0 / (in_mult * w_mult)) + bias[None, :, None, None]
     y = np.where(y > 0, y, 0.1 * y)
     np.testing.assert_allclose(ours, _nhwc(y), rtol=1e-5, atol=1e-5)
+
+
+def test_letterbox_correct_boxes():
+    """letter=True coordinate correction (reference: correct_yolo_boxes,
+    src/additionally.c:4287-4297)."""
+    from yolo2_light_tpu.post.boxes import correct_boxes
+    # image 200x100 letterboxed into 416x416: new_w=416, new_h=208
+    b = np.array([[0.5, 0.5, 0.25, 0.25]], np.float32)
+    out = correct_boxes(b, 200, 100, 416, 416, relative=True, letter=True)
+    new_h = (100 * 416) // 200
+    np.testing.assert_allclose(out[0, 0], 0.5, rtol=1e-6)
+    np.testing.assert_allclose(
+        out[0, 1], (0.5 - (416 - new_h) / 2 / 416) / (new_h / 416), rtol=1e-5)
+    np.testing.assert_allclose(out[0, 2], 0.25, rtol=1e-6)
+    np.testing.assert_allclose(out[0, 3], 0.25 * 416 / new_h, rtol=1e-5)
+
+
+def test_letterbox_image_geometry():
+    from yolo2_light_tpu.io.image import letterbox_image
+    im = np.ones((100, 200, 3), np.float32)
+    out = letterbox_image(im, 416, 416)
+    assert out.shape == (416, 416, 3)
+    new_h = (100 * 416) // 200
+    top = (416 - new_h) // 2
+    np.testing.assert_allclose(out[top + 1, 208], 1.0)
+    np.testing.assert_allclose(out[top - 1, 208], 0.5)  # gray border
