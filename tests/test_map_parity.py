@@ -110,3 +110,56 @@ def test_map_data_parallel_matches_single(dataset, tmp_path):
     assert single["tp"] == sharded["tp"]
     assert single["fp"] == sharded["fp"]
     assert abs(single["mAP"] - sharded["mAP"]) < 1e-6
+
+
+def test_map_parity_with_difficult(oracle, dataset, tmp_path):
+    """difficult= handling: dropped records still count as threshold FPs
+    (reference: src/additionally.c:4739-4765)."""
+    import shutil
+    root = dataset["root"]
+    # difficult list: same images; difficult labels = jittered copies of truths
+    dif_img_dir = root / "images_dif"
+    dif_lbl_dir = root / "labels_dif"
+    dif_img_dir.mkdir(exist_ok=True)
+    dif_lbl_dir.mkdir(exist_ok=True)
+    rng = np.random.RandomState(7)
+    dif_paths = []
+    for p in (root / "images").iterdir():
+        stem = p.stem
+        dst = dif_img_dir / p.name
+        if not dst.exists():
+            shutil.copy(p, dst)
+        dif_paths.append(str(dst).replace("images_dif", "images_dif"))
+        lines = []
+        for _ in range(2):
+            cid = rng.randint(0, 3)
+            x, y = rng.uniform(0.2, 0.8, 2)
+            w, h = rng.uniform(0.15, 0.5, 2)
+            lines.append(f"{cid} {x:.6f} {y:.6f} {w:.6f} {h:.6f}")
+        # label path rewrite: images_dif -> labels_dif won't trigger on 'images'
+        # substring first, so name dirs to satisfy label_path_for: use 'images'
+        (dif_lbl_dir / f"{stem}.txt").write_text("\n".join(lines) + "\n")
+    # label_path_for replaces first 'images'->'labels': images_dif -> labels_dif ✓
+    dif_list = root / "difficult.txt"
+    dif_list.write_text("\n".join(sorted(dif_paths)) + "\n")
+    data = root / "mini_dif.data"
+    data.write_text(f"classes=3\nvalid={root / 'valid.txt'}\n"
+                    f"names={dataset['names']}\ndifficult={dif_list}\n")
+
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec = parse_network_cfg(cfg, batch=1)
+    weights = str(tmp_path / "w.weights")
+    save_weights(spec, random_params(spec, seed=11), weights)
+
+    res = subprocess.run(
+        [oracle, "detector", "map", str(data), cfg, weights, "-thresh", "0.24"],
+        capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-1500:]
+    om = _parse_map_output(res.stdout)
+    from yolo2_light_tpu.apps.map import validate_detector_map
+    ours = validate_detector_map(str(data), cfg, weights, thresh=0.24,
+                                 batch=3, k=4096)
+    assert abs(om["detections_count"] - ours["detections_count"]) <= 3
+    assert abs(om["tp"] - ours["tp"]) <= 1
+    assert abs(om["fp"] - ours["fp"]) <= 3
+    assert abs(om["mAP"] - ours["mAP"]) < 0.02

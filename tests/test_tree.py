@@ -118,3 +118,36 @@ def test_tree_region_oracle_parity(oracle, tree_file, tmp_path):
                               thresh=0.3)
     utext = run_ours_detect(names, cfg, weights, IMAGE, thresh=0.3)
     assert_detections_match(otext, utext, context="yolo9000 tree")
+
+
+def test_tree_device_decode_matches_host(tree_file, tmp_path):
+    """DetectionPipeline (device decode) must apply the hierarchy exactly like the
+    host path for YOLO9000 models."""
+    import numpy as np
+
+    from yolo2_light_tpu.cfg import parse_network_cfg
+    from yolo2_light_tpu.models.network import Predictor
+    from yolo2_light_tpu.pipeline import DetectionPipeline
+    from yolo2_light_tpu.post import boxes as post
+    from yolo2_light_tpu.weights import (fuse_conv_batchnorm, random_params)
+
+    cfg = str(tmp_path / "mini-tree.cfg")
+    with open(cfg, "w") as f:
+        f.write(CFG_TEMPLATE.format(tree_path=tree_file))
+    spec = parse_network_cfg(cfg, batch=1)
+    params = fuse_conv_batchnorm(spec, random_params(spec, seed=31))
+
+    x = np.random.RandomState(7).rand(1, 64, 64, 3).astype(np.float32)
+    pred = Predictor(spec, params)
+    heads = pred(x)
+    host = post.get_network_boxes([np.asarray(h.data[0]) for h in heads],
+                                  pred.head_specs(), 64, 64, 64, 64, 0.3)
+    post.do_nms_sort(host, 7, 0.4)
+
+    pipe = DetectionPipeline(spec, params, thresh=0.3, nms=0.4, k=4096)
+    dev = pipe(x)[0]
+    hp = host.prob[host.prob.max(-1) > 0]
+    dp = dev.prob[dev.prob.max(-1) > 0]
+    assert hp.shape[0] == dp.shape[0]
+    np.testing.assert_allclose(
+        np.sort(hp.max(-1)), np.sort(dp.max(-1)), rtol=1e-5)

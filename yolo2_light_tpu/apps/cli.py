@@ -130,7 +130,8 @@ def _main(argv=None) -> int:
         from .demo import demo
         names = load_names(obj_names)
         demo(cfg, weights, thresh, filename, names, quantized=quantized,
-             out_filename=out_filename, dont_show=dont_show)
+             out_filename=out_filename, dont_show=dont_show,
+             int8_policy=int8_policy)
         return 0
     print(f"Not an option: {sub}", file=sys.stderr)
     return 1

@@ -23,14 +23,27 @@ from .detect import build_params
 
 def _frames(cap, netw, neth, q, stop):
     import cv2
+
+    def offer(item) -> bool:
+        # bounded put that re-checks stop so an early-exiting consumer (ESC or
+        # max_frames) can't leave the producer blocked on a full queue
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.25)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     while not stop.is_set():
         ok, frame = cap.read()
         if not ok:
             break
         rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
         sized = im_io.resize_image(rgb, netw, neth)
-        q.put((rgb, sized))
-    q.put(None)
+        if not offer((rgb, sized)):
+            return
+    offer(None)
 
 
 def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
@@ -101,6 +114,7 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
                 break
     finally:
         stop.set()
+        t.join(timeout=2.0)   # producer exits via its stop checks
         cap.release()
         if writer is not None:
             writer.release()

@@ -51,9 +51,14 @@ def build_predictor(cfgfile: str, weightfile, quantized: bool = False,
 
 def detect_image(pred, spec, filename: str, thresh: float, nms: float,
                  names, letter: bool = False):
-    """Run one image through the predictor; returns (dets, image, elapsed)."""
+    """Run one image through the predictor; returns (dets, image, elapsed).
+    ``letter`` selects aspect-preserving letterbox preprocessing + the matching
+    coordinate correction (the reference app always stretches, src/main.c:189)."""
     im = im_io.load_image(filename, 3)
-    sized = im_io.resize_image(im, spec.net.w, spec.net.h)
+    if letter:
+        sized = im_io.letterbox_image(im, spec.net.w, spec.net.h)
+    else:
+        sized = im_io.resize_image(im, spec.net.w, spec.net.h)
     t0 = time.time()
     heads = pred(im_io.to_batch(sized))
     head_outputs = [np.asarray(h.data[0]) for h in heads]

@@ -68,16 +68,23 @@ def validate_detector_map(datacfg: str, cfgfile: str, weightfile, *,
     netw, neth = spec.net.w, spec.net.h
 
     with ThreadPoolExecutor(max_workers=nthreads) as pool:
-        # submit all loads up front; consume in order, batch through the device
-        futures = [pool.submit(_load_one, p, netw, neth) for p in paths]
+        # bounded prefetch window (2 batches ahead): same loader/compute overlap as
+        # the reference's 4-thread pipeline without holding the whole dataset in RAM
+        window = max(batch * 2, nthreads)
+        futures = {t: pool.submit(_load_one, paths[t], netw, neth)
+                   for t in range(min(window, len(paths)))}
         i = 0
         while i < len(paths):
             j = min(i + batch, len(paths))
-            imgs = np.stack([futures[t].result() for t in range(i, j)])
+            for t in range(min(i + window, len(paths))):
+                if t not in futures:
+                    futures[t] = pool.submit(_load_one, paths[t], netw, neth)
+            imgs = np.stack([futures.pop(t).result() for t in range(i, j)])
             if pipe.data_parallel > 1 and imgs.shape[0] % pipe.data_parallel:
                 # pad the tail batch to a shardable size; extras are dropped below
                 pad = pipe.data_parallel - imgs.shape[0] % pipe.data_parallel
-                imgs = np.concatenate([imgs, np.zeros_like(imgs[:pad])])
+                imgs = np.concatenate(
+                    [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
             dets_list = pipe(imgs)[: j - i]
             for t, dets in zip(range(i, j), dets_list):
                 print(f"{t + 1}", file=sys.stderr)

@@ -75,18 +75,21 @@ class MapAccumulator:
                             and cur > max_iou:
                         max_iou = cur
                         truth_index = self.unique_truth_count + j
+                dropped = False
                 if truth_index == -1:
-                    # difficult overlap -> drop detection record entirely
-                    dropped = False
+                    # difficult overlap -> drop the ranked record, but the
+                    # threshold-level FP accounting still runs (the reference's
+                    # --detections_count at src/additionally.c:4745 does not skip
+                    # the prob>thresh block at :4752-4765)
                     for j in range(len(dif)):
                         if (iou_d[i, j] > self.iou_thresh
                                 and class_id == int(dif[j, 0])):
                             dropped = True
                             break
-                    if dropped:
-                        # reference decrements detections_count: record never ranks,
-                        # and is excluded from the thresh TP/FP accounting too
-                        continue
+                if dropped:
+                    if prob > self.thresh_calc_avg_iou:
+                        self.fp_for_thresh += 1   # truth_index is -1 here
+                    continue
                 self.det_p.append(prob)
                 self.det_class.append(class_id)
                 self.det_truth_flag.append(1 if truth_index > -1 else 0)
@@ -120,9 +123,12 @@ class MapAccumulator:
         tp_run = np.zeros(self.classes, np.int64)
         fp_run = np.zeros(self.classes, np.int64)
         for rank, d in enumerate(order):
-            if tflag[d] == 1 and truth_flags[tidx[d]] == 0:
-                truth_flags[tidx[d]] = 1
-                tp_run[cls[d]] += 1
+            # reference (src/additionally.c:4816-4826): a duplicate match of an
+            # already-claimed truth counts NEITHER as TP nor FP
+            if tflag[d] == 1:
+                if truth_flags[tidx[d]] == 0:
+                    truth_flags[tidx[d]] = 1
+                    tp_run[cls[d]] += 1
             else:
                 fp_run[cls[d]] += 1
             tp_c[rank] = tp_run

@@ -32,11 +32,13 @@ def _build_and_load():
     os.makedirs(cache, exist_ok=True)
     so_path = os.path.join(cache, f"libyolo2native-{tag}.so")
     if not os.path.exists(so_path):
-        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-               "-o", so_path + ".tmp"]
+        # per-process temp name: concurrent cold-cache builds must not publish
+        # each other's half-written output (os.replace is atomic)
+        tmp = f"{so_path}.{os.getpid()}.tmp"
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp]
         cmd += [os.path.join(_SRC_DIR, s) for s in _SOURCES]
         subprocess.run(cmd, check=True, capture_output=True)
-        os.replace(so_path + ".tmp", so_path)
+        os.replace(tmp, so_path)
     lib = ctypes.CDLL(so_path)
     f32p = ctypes.POINTER(ctypes.c_float)
     lib.nms_sort.argtypes = [f32p, f32p, f32p, ctypes.c_int64, ctypes.c_int64,

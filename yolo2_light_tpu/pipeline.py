@@ -45,6 +45,7 @@ class DetectionPipeline:
         self._compute_dtype = compute_dtype
         self._xnor_impl = xnor_impl
         self._mesh = mesh
+        self._packed_dtype = packed_dtype
         self.params = params_to_device(params)
         self.head_specs = [l for l in spec.layers
                            if isinstance(l, (YoloSpec, RegionSpec))]
@@ -113,7 +114,8 @@ class DetectionPipeline:
                 self.spec, self.params, self._mode, thresh=self.thresh,
                 nms=self.nms, k=new_k, int8_policy=self._int8_policy,
                 compute_dtype=self._compute_dtype, letter=self.letter,
-                xnor_impl=self._xnor_impl, mesh=self._mesh)
+                xnor_impl=self._xnor_impl, mesh=self._mesh,
+                packed_dtype=self._packed_dtype)
             self._grown_cache = cached
         return cached
 

@@ -66,8 +66,34 @@ def _decode_region(h, spec: RegionSpec, netw: int, neth: int, thresh: float):
     scale = h[..., coords]
     if spec.classfix == -1:
         scale = jnp.where(scale < 0.5, 0.0, scale)
-    probs = h[..., coords + 1:] * scale[..., None]
-    probs = jnp.where(probs > thresh, probs, 0.0)
+    if spec.softmax_tree is not None:
+        # YOLO9000 hierarchy on device: cascade parent products level by level
+        # (parents always precede children), then keep only the deepest node with
+        # path-prob > 0.5 per box; prob_j = (scale > thresh) ? pred_j : 0
+        # (reference: src/additionally.c:1878 + src/yolov2_forward_network.c:694)
+        tree = spec.softmax_tree
+        preds = h[..., coords + 1:]
+        parent = np.asarray(tree.parent)
+        depth = np.zeros(tree.n, np.int64)
+        for j in range(tree.n):
+            if parent[j] >= 0:
+                depth[j] = depth[parent[j]] + 1
+        for d in range(1, int(depth.max()) + 1 if tree.n else 1):
+            idx = np.nonzero(depth == d)[0]
+            if idx.size == 0:
+                continue
+            preds = preds.at[..., idx].multiply(preds[..., parent[idx]])
+        over = preds > 0.5
+        classes_n = preds.shape[-1]
+        rev_first = jnp.argmax(over[..., ::-1], axis=-1)
+        keep_idx = jnp.where(over.any(-1), classes_n - 1 - rev_first, -1)
+        onehot = (jnp.arange(classes_n)[None, None, None, None, :]
+                  == keep_idx[..., None])
+        probs = jnp.where(onehot, preds, 0.0)
+        probs = jnp.where((scale > thresh)[..., None], probs, 0.0)
+    else:
+        probs = h[..., coords + 1:] * scale[..., None]
+        probs = jnp.where(probs > thresh, probs, 0.0)
     boxes = jnp.stack([bx, by, bw, bh], axis=-1)
     N = lh * lw * n
     return (boxes.reshape(b, N, 4), jnp.ones((b, N), jnp.float32),
