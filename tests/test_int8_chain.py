@@ -1,0 +1,36 @@
+"""int8 chaining (producer-fused quantization) must be bit-identical to the
+unchained int8 forward — quantization commutes exactly with max/concat/permute."""
+
+import os
+
+import numpy as np
+import pytest
+
+from yolo2_light_tpu.apps.detect import build_params
+from yolo2_light_tpu.models.network import build_forward, params_to_device
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+BIN = "/root/reference/bin"
+
+
+@pytest.mark.parametrize("cfg,policy", [
+    (os.path.join(DATA, "mini-yolo3.cfg"), "cpu"),
+    (os.path.join(DATA, "mini-yolo2.cfg"), "cpu"),
+    pytest.param(os.path.join(BIN, "yolov3-tiny.cfg"), "cpu",
+                 marks=pytest.mark.slow),
+    pytest.param(os.path.join(BIN, "yolov2-voc.cfg"), "gpu",
+                 marks=pytest.mark.slow),
+])
+def test_chained_equals_unchained(cfg, policy):
+    spec, params, _ = build_params(cfg, None, quantized=True, seed=13)
+    dev = params_to_device(params)
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, spec.net.h, spec.net.w, spec.net.c).astype(np.float32)
+
+    plain = build_forward(spec, "int8", int8_policy=policy)
+    chained = build_forward(spec, "int8", int8_policy=policy, int8_chain=True)
+    h0, _ = plain(dev, x)
+    h1, _ = chained(dev, x)
+    assert len(h0) == len(h1)
+    for a, b in zip(h0, h1):
+        np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))

@@ -105,7 +105,7 @@ def conv2d_fp32(x, weights, biases, stride: int, pad: int, activation: str,
 
 def conv2d_int8(x, weights_int8, biases, stride: int, pad: int, activation: str,
                 input_mult: float, weights_mult: float, r_mult: int = 32,
-                semantics: str = "cpu"):
+                semantics: str = "cpu", x_int8=None):
     """INT8 conv path, in either of the reference's two flavors.
 
     ``semantics="cpu"`` (reference: forward_convolutional_layer_q,
@@ -125,8 +125,11 @@ def conv2d_int8(x, weights_int8, biases, stride: int, pad: int, activation: str,
     y = leaky_0.1( acc_int32 * (1/(input_mult*weights_mult)) + bias ) — no R_MULT
     requant/clamp, standard 0.1 leaky (src/gpu.cu:465).
     """
-    xi = jnp.trunc(x * input_mult)
-    xi = jnp.clip(xi, -127, 127).astype(jnp.int8)
+    if x_int8 is not None:
+        xi = x_int8   # pre-quantized by the producer (int8 chaining; identical math)
+    else:
+        xi = jnp.trunc(x * input_mult)
+        xi = jnp.clip(xi, -127, 127).astype(jnp.int8)
     acc = lax.conv_general_dilated(
         xi, weights_int8, (stride, stride), [(pad, pad), (pad, pad)],
         dimension_numbers=_DIMNUMS, preferred_element_type=jnp.int32)
@@ -241,8 +244,14 @@ def maxpool(x, size: int, stride: int, pad: int, out_w: int, out_h: int):
     lo = pad // 2
     hi_h = max(0, (out_h - 1) * stride + size - lo - h)
     hi_w = max(0, (out_w - 1) * stride + size - lo - w)
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        # int8-chained pooling: OOB positions take iinfo.min, never beating a
+        # real (>= -127) value — exact commute with the float path's -inf
+        init = x.dtype.type(jnp.iinfo(x.dtype).min)
+    else:
+        init = -jnp.inf
     return lax.reduce_window(
-        x, -jnp.inf, lax.max,
+        x, init, lax.max,
         window_dimensions=(1, size, size, 1),
         window_strides=(1, stride, stride, 1),
         padding=((0, 0), (lo, hi_h), (lo, hi_w), (0, 0)))

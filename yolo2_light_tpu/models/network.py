@@ -56,9 +56,60 @@ def _int8_layer_set(spec: ModelSpec, policy: str) -> set:
     return out
 
 
+def _int8_chain_targets(spec: ModelSpec, int8_set: set) -> dict:
+    """For each layer index, the index of the unique int8 conv reachable from its
+    output through quantization-commuting ops (maxpool/route/reorg/upsample-scale-1),
+    or None when absent/ambiguous. Quantization (monotone trunc+clamp) commutes
+    exactly with max/concat/permute/repeat, so a producer can emit pre-quantized
+    int8 activations for its downstream int8 conv; static analysis keeps only the
+    unique-consumer case (a shared output feeding two int8 convs could have two
+    different input multipliers)."""
+    consumers: dict[int, list] = {i: [] for i in range(spec.n)}
+    for l in spec.layers:
+        if isinstance(l, RouteSpec):
+            for j in l.layers:
+                consumers[j].append(l.index)
+        elif isinstance(l, ShortcutSpec):
+            consumers[l.from_index].append(l.index)
+            consumers[l.index - 1].append(l.index)
+        elif l.index > 0:
+            consumers[l.index - 1].append(l.index)
+    targets: dict[int, object] = {}
+
+    def target_of(i: int):
+        """int8-conv consumer index wanted from layer i's OUTPUT (memoized)."""
+        if i in targets:
+            return targets[i]
+        wanted = set()
+        for c in consumers.get(i, []):
+            lc = spec.layers[c]
+            if isinstance(lc, ConvSpec):
+                if c in int8_set:
+                    wanted.add(c)
+            elif isinstance(lc, (MaxpoolSpec, RouteSpec, ReorgSpec)):
+                t = target_of(c)
+                if t is not None:
+                    wanted.add(t)
+            elif isinstance(lc, UpsampleSpec) and lc.scale == 1.0:
+                t = target_of(c)
+                if t is not None:
+                    wanted.add(t)
+            # shortcut/heads need float only
+        targets[i] = wanted.pop() if len(wanted) == 1 else None
+        return targets[i]
+
+    for i in range(spec.n - 1, -1, -1):
+        target_of(i)
+    return targets
+
+
+def _quantize_i8(x, mult):
+    return jnp.clip(jnp.trunc(x * mult), -127, 127).astype(jnp.int8)
+
+
 def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cpu",
                   compute_dtype=jnp.float32, capture_conv_inputs: bool = False,
-                  xnor_impl: str = "int8"):
+                  xnor_impl: str = "int8", int8_chain: bool = False):
     """Return ``forward(params, x)`` for the given spec.
 
     ``x``: [B, H, W, C] float32, NHWC, values in [0,1] (darknet image convention).
@@ -73,12 +124,27 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
     if mode == "int8" and int8_policy == "cpu_old":
         return build_forward_int8_old(spec)
     int8_set = _int8_layer_set(spec, int8_policy) if mode == "int8" else set()
+    chain = _int8_chain_targets(spec, int8_set) if (
+        mode == "int8" and int8_chain) else {}
 
     def forward(params, x):
         outputs: dict[int, jax.Array] = {}
+        i8_outputs: dict[int, tuple] = {}   # idx -> (int8 tensor, target conv idx)
         heads: list[HeadOutput] = []
         conv_inputs: list = []
         cur = x
+        cur_i8 = None                        # (tensor, target conv idx) or None
+
+        def emit_i8(i, value):
+            """Producer-side quantization for the downstream int8 conv (fuses into
+            this layer's epilogue; bit-identical to consumer-side quantize)."""
+            t = chain.get(i)
+            if t is None:
+                return None
+            pair = (_quantize_i8(value, params[t]["input_quant_multipler"]), t)
+            i8_outputs[i] = pair
+            return pair
+
         for l in spec.layers:
             i = l.index
             if isinstance(l, ConvSpec):
@@ -99,11 +165,16 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
                         cur = L.conv2d_xnor(
                             cur, p["sign_weights"], p["mean_arr"], p["biases"],
                             l.stride, l.pad, l.activation)
+                    cur_i8 = emit_i8(i, cur)
                 elif i in int8_set:
+                    xi8 = (cur_i8[0] if cur_i8 is not None and cur_i8[1] == i
+                           else None)
                     cur = L.conv2d_int8(
                         cur, p["weights_int8"], p["biases"], l.stride, l.pad,
                         l.activation, p["input_quant_multipler"],
-                        p["weights_quant_multipler"], semantics=int8_policy)
+                        p["weights_quant_multipler"], semantics=int8_policy,
+                        x_int8=xi8)
+                    cur_i8 = emit_i8(i, cur)
                 else:
                     bn = None
                     if "scales" in p:
@@ -111,23 +182,53 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
                     cur = L.conv2d_fp32(cur, p["weights"], p["biases"], l.stride,
                                         l.pad, l.activation, bn=bn,
                                         compute_dtype=compute_dtype)
+                    cur_i8 = emit_i8(i, cur)
             elif isinstance(l, MaxpoolSpec):
+                # quantize commutes with max -> pool the int8 chain directly
+                if cur_i8 is not None and chain.get(i) == cur_i8[1]:
+                    cur_i8 = (L.maxpool(cur_i8[0], l.size, l.stride, l.pad,
+                                        l.out_w, l.out_h), cur_i8[1])
+                    i8_outputs[i] = cur_i8
+                else:
+                    cur_i8 = None
                 cur = L.maxpool(cur, l.size, l.stride, l.pad, l.out_w, l.out_h)
             elif isinstance(l, RouteSpec):
+                t = chain.get(i)
+                srcs = [i8_outputs.get(j) for j in l.layers]
+                if t is not None and all(
+                        s is not None and s[1] == t for s in srcs):
+                    cur_i8 = (jnp.concatenate([s[0] for s in srcs], axis=-1), t)
+                    i8_outputs[i] = cur_i8
+                else:
+                    cur_i8 = None
                 cur = L.route([outputs[j] for j in l.layers])
             elif isinstance(l, ReorgSpec):
+                if cur_i8 is not None and chain.get(i) == cur_i8[1]:
+                    cur_i8 = (L.reorg(cur_i8[0], l.stride, l.reverse), cur_i8[1])
+                    i8_outputs[i] = cur_i8
+                else:
+                    cur_i8 = None
                 cur = L.reorg(cur, l.stride, l.reverse)
             elif isinstance(l, UpsampleSpec):
+                if (cur_i8 is not None and chain.get(i) == cur_i8[1]
+                        and l.scale == 1.0):
+                    cur_i8 = (L.upsample(cur_i8[0], l.stride, 1.0), cur_i8[1])
+                    i8_outputs[i] = cur_i8
+                else:
+                    cur_i8 = None
                 cur = L.upsample(cur, l.stride, l.scale)
             elif isinstance(l, ShortcutSpec):
+                cur_i8 = None
                 cur = L.shortcut(cur, outputs[l.from_index], l.activation)
             elif isinstance(l, YoloSpec):
+                cur_i8 = None
                 b, h, w, _ = cur.shape
                 y = L.yolo_head(cur, l.n, l.classes)
                 cur = y
                 heads.append(HeadOutput(i, "yolo",
                                         y.reshape(b, h, w, l.n, 5 + l.classes)))
             elif isinstance(l, RegionSpec):
+                cur_i8 = None
                 tree_groups = None
                 if l.softmax_tree is not None:
                     from ..tree import softmax_groups
@@ -138,6 +239,7 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
                 cur = y5.reshape(b, h, w, -1)
                 heads.append(HeadOutput(i, "region", y5))
             elif isinstance(l, SoftmaxSpec):
+                cur_i8 = None
                 cur = L.softmax_layer(cur.reshape(cur.shape[0], -1),
                                       l.groups, l.temperature)
             else:
@@ -232,12 +334,13 @@ class Predictor:
 
     def __init__(self, spec: ModelSpec, params: list, mode: str = "fp32", *,
                  int8_policy: str = "cpu", compute_dtype=jnp.float32,
-                 xnor_impl: str = "int8"):
+                 xnor_impl: str = "int8", int8_chain: bool = True):
         self.spec = spec
         self.mode = mode
         self.params = params_to_device(params)
         fwd = build_forward(spec, mode, int8_policy=int8_policy,
-                            compute_dtype=compute_dtype, xnor_impl=xnor_impl)
+                            compute_dtype=compute_dtype, xnor_impl=xnor_impl,
+                            int8_chain=int8_chain)
         # jit only carries arrays; head metadata (index/kind) is static and reattached
         self._head_meta = [(l.index, "yolo" if isinstance(l, YoloSpec) else "region")
                            for l in spec.layers

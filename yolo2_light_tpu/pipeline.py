@@ -51,7 +51,8 @@ class DetectionPipeline:
                            if isinstance(l, (YoloSpec, RegionSpec))]
         self.classes = self.head_specs[-1].classes
         fwd = build_forward(spec, mode, int8_policy=int8_policy,
-                            compute_dtype=compute_dtype, xnor_impl=xnor_impl)
+                            compute_dtype=compute_dtype, xnor_impl=xnor_impl,
+                            int8_chain=True)
         netw, neth = spec.net.w, spec.net.h
         head_specs = self.head_specs
 
