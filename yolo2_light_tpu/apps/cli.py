@@ -69,6 +69,7 @@ def _main(argv=None) -> int:
     args = args[1:]
 
     dont_show = _find_flag(args, "-dont_show")
+    bf16 = _find_flag(args, "-bf16")
     quantized = _find_flag(args, "-quantized")
     letterbox = _find_flag(args, "-letterbox")
     thresh = _find_value(args, "-thresh", 0.25, float)
@@ -97,6 +98,10 @@ def _main(argv=None) -> int:
         print("error: missing cfg file", file=sys.stderr)
         return 1
 
+    compute_dtype = None
+    if bf16:
+        import jax.numpy as jnp
+        compute_dtype = jnp.bfloat16
     if sub == "test":
         from ..datacfg import load_names
         from .detect import run
@@ -107,18 +112,21 @@ def _main(argv=None) -> int:
                 run(names, cfg, weights, filename, thresh=thresh,
                     quantized=quantized, dont_show=dont_show,
                     int8_policy=int8_policy, save_path=save_path,
-                    letter=letterbox, xnor_impl=xnor_kernel)
+                    letter=letterbox, xnor_impl=xnor_kernel,
+                    compute_dtype=compute_dtype)
         else:
             run(names, cfg, weights, filename, thresh=thresh, quantized=quantized,
                 dont_show=dont_show, int8_policy=int8_policy, save_path=save_path,
-                letter=letterbox, xnor_impl=xnor_kernel)
+                letter=letterbox, xnor_impl=xnor_kernel,
+                compute_dtype=compute_dtype)
         return 0
     elif sub == "map":
         from .map import validate_detector_map
         validate_detector_map(obj_names, cfg, weights, thresh=thresh,
                               quantized=quantized, iou_thresh=iou_thresh,
                               int8_policy=int8_policy,
-                              data_parallel=data_parallel)
+                              data_parallel=data_parallel,
+                              compute_dtype=compute_dtype)
         return 0
     elif sub == "calibrate":
         from .calibrate import validate_calibrate

@@ -77,11 +77,13 @@ def detect_image(pred, spec, filename: str, thresh: float, nms: float,
 def run(names, cfgfile: str, weightfile, filename, thresh: float = 0.24,
         quantized: bool = False, dont_show: bool = True,
         int8_policy: str = "cpu", save_path: str = "predictions",
-        letter: bool = False, xnor_impl: str = "int8") -> str:
+        letter: bool = False, xnor_impl: str = "int8",
+        compute_dtype=None) -> str:
     """Single-image detect; with no filename, loops reading image paths from stdin
     (reference: test_detector_cpu while(1) fgets loop, src/main.c:176-186)."""
     spec, pred = build_predictor(cfgfile, weightfile, quantized,
-                                 int8_policy=int8_policy, xnor_impl=xnor_impl)
+                                 int8_policy=int8_policy, xnor_impl=xnor_impl,
+                                 compute_dtype=compute_dtype)
     nms = 0.2 if quantized else 0.4  # reference: src/main.c:174,213
     classes = pred.head_specs()[-1].classes
     text = ""
