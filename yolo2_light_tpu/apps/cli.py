@@ -129,6 +129,9 @@ def _main(argv=None) -> int:
                               compute_dtype=compute_dtype)
         return 0
     elif sub == "calibrate":
+        if bf16:
+            print("note: calibrate always runs fp32 (calibration statistics are "
+                  "precision-sensitive); -bf16 ignored", file=sys.stderr)
         from .calibrate import validate_calibrate
         validate_calibrate(obj_names, cfg, weights,
                            input_calibration=input_calibration)
@@ -139,7 +142,7 @@ def _main(argv=None) -> int:
         names = load_names(obj_names)
         demo(cfg, weights, thresh, filename, names, quantized=quantized,
              out_filename=out_filename, dont_show=dont_show,
-             int8_policy=int8_policy)
+             int8_policy=int8_policy, compute_dtype=compute_dtype)
         return 0
     print(f"Not an option: {sub}", file=sys.stderr)
     return 1

@@ -48,16 +48,19 @@ def _frames(cap, netw, neth, q, stop):
 
 def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
          quantized: bool = False, out_filename=None, dont_show: bool = True,
-         cam_index: int = 0, int8_policy: str = "cpu", max_frames=None) -> int:
-    """Returns number of frames processed."""
+         cam_index: int = 0, int8_policy: str = "cpu", max_frames=None,
+         compute_dtype=None) -> int:
+    """Returns number of frames processed. Dense convs default to bf16 on the MXU
+    (real-time video favors speed); pass compute_dtype=jnp.float32 for full fp32."""
     import cv2
     import jax.numpy as jnp
 
     spec, params, mode = build_params(cfgfile, weightfile, quantized=quantized)
     nms = 0.2 if quantized else 0.4
+    cd = compute_dtype if compute_dtype is not None else jnp.bfloat16
     pipe = DetectionPipeline(spec, params, mode, thresh=thresh, nms=nms,
                              int8_policy=int8_policy,
-                             compute_dtype=jnp.bfloat16)
+                             compute_dtype=cd)
     classes = pipe.classes
 
     cap = cv2.VideoCapture(filename if filename else cam_index)

@@ -76,7 +76,7 @@ def validate_detector_map(datacfg: str, cfgfile: str, weightfile, *,
         i = 0
         while i < len(paths):
             j = min(i + batch, len(paths))
-            for t in range(min(i + window, len(paths))):
+            for t in range(i, min(i + window, len(paths))):
                 if t not in futures:
                     futures[t] = pool.submit(_load_one, paths[t], netw, neth)
             imgs = np.stack([futures.pop(t).result() for t in range(i, j)])

@@ -514,6 +514,12 @@ def parse_network_cfg(path: str, batch: int = 0, quantized: bool = False) -> Mod
         else:
             raise ValueError(f"Type not recognized: {s.type}")
 
+        s.find("dontload")        # accepted like the reference (parse tail reads
+        s.find("dontloadscales")  # them for every layer, src/additionally.c:4022-4023)
+        for k in s.unused_keys():
+            # reference: option_unused prints "Unused field" (src/additionally.c:3330)
+            import sys as _sys
+            print(f"Unused field: '{k} = {s.options[k]}'", file=_sys.stderr)
         layers.append(layer)
         # chain dims (reference: parse_network_cfg tail, src/additionally.c:4030-4035)
         w, h, c = layer.out_w, layer.out_h, layer.out_c

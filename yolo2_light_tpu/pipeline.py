@@ -90,14 +90,20 @@ class DetectionPipeline:
         If the candidate buffer saturates (all K slots used — detections may have
         been dropped), the batch transparently re-runs with K x4, up to 4096.
         """
+        promoted = getattr(self, "_promoted", None)
+        if promoted is not None:
+            return promoted(images, im_sizes)
         packed = np.asarray(self.raw(images)).astype(np.float32)  # one D2H transfer
         if (packed.shape[1] == self.k and self.k < 4096
                 and bool((packed[:, :, 5:].max(axis=-1) > 0).all(axis=-1).any())):
             import sys
             new_k = min(4096, self.k * 4)
             print(f"note: candidate buffer K={self.k} saturated; re-running "
-                  f"batch with K={new_k}", file=sys.stderr)
+                  f"batch with K={new_k} (future batches use the grown buffer)",
+                  file=sys.stderr)
             grown = self._grown(new_k)
+            # promote: saturating workloads shouldn't pay a double forward per batch
+            self._promoted = grown
             return grown(images, im_sizes)
         netw, neth = self.spec.net.w, self.spec.net.h
         out = []

@@ -157,7 +157,9 @@ def is_fused(params: list) -> bool:
 
 
 def save_params_cache(params: list, path: str) -> None:
-    """Serialize a params list (with Nones) to one .npz file."""
+    """Serialize a params list (with Nones) to one .npz file. ``path`` should end
+    in .npz; it is appended otherwise (np.savez behavior), and load_params_cache
+    applies the same rule so the pair always agrees."""
     flat = {}
     for i, p in enumerate(params):
         if p is None:
@@ -169,6 +171,8 @@ def save_params_cache(params: list, path: str) -> None:
 
 def load_params_cache(path: str, n_layers: int) -> list:
     """Inverse of save_params_cache."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     params: list = [None] * n_layers
     with np.load(path) as z:
         for key in z.files:
