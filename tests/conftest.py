@@ -15,8 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 # The axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS env; the config
-# update is authoritative.
-jax.config.update("jax_platforms", "cpu")
+# update is authoritative. Set YOLO2_TPU_TESTS=1 to run the suite against the
+# real TPU backend instead (slower; exercises Mosaic/XLA-TPU numerics).
+if os.environ.get("YOLO2_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest
 

@@ -58,7 +58,7 @@ def test_pipeline_batched():
     cfg = os.path.join(DATA, "mini-yolo3.cfg")
     spec = parse_network_cfg(cfg, batch=4)
     params = fuse_conv_batchnorm(spec, random_params(spec, seed=2))
-    pipe = DetectionPipeline(spec, params, thresh=0.3, k=512)
+    pipe = DetectionPipeline(spec, params, thresh=0.3, k=4096)
     x = np.random.RandomState(0).rand(4, spec.net.h, spec.net.w,
                                       spec.net.c).astype(np.float32)
     dets = pipe(x)
@@ -68,3 +68,31 @@ def test_pipeline_batched():
     d2 = pipe(x2)
     for d in d2[1:]:
         np.testing.assert_allclose(d.prob, d2[0].prob, rtol=1e-6)
+
+
+def test_stream_matches_call_and_order():
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec = parse_network_cfg(cfg, batch=2)
+    params = fuse_conv_batchnorm(spec, random_params(spec, seed=2))
+    pipe = DetectionPipeline(spec, params, thresh=0.3, k=4096)
+    rng = np.random.RandomState(1)
+    batches = [rng.rand(2, 64, 64, 3).astype(np.float32) for _ in range(3)]
+    direct = [pipe(b) for b in batches]
+    streamed = list(pipe.stream(iter(batches), depth=2, workers=1))
+    assert len(streamed) == 3
+    for dlist, slist in zip(direct, streamed):
+        for d, s in zip(dlist, slist):
+            np.testing.assert_allclose(d.prob, s.prob, rtol=1e-6)
+            np.testing.assert_allclose(d.bbox, s.bbox, rtol=1e-6)
+
+
+def test_stream_with_im_sizes():
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec = parse_network_cfg(cfg, batch=1)
+    params = fuse_conv_batchnorm(spec, random_params(spec, seed=2))
+    pipe = DetectionPipeline(spec, params, thresh=0.3, k=4096)
+    x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    sizes = [[(128, 96)]]
+    (out,) = list(pipe.stream([x], im_sizes_iter=iter(sizes)))
+    ref = pipe(x, im_sizes=[(128, 96)])
+    np.testing.assert_allclose(out[0].bbox, ref[0].bbox, rtol=1e-6)

@@ -137,7 +137,9 @@ class DetectionPipeline:
         src/main.c:490-572; the native C++ NMS releases the GIL during the call).
 
         ``batches``: iterable of [B,H,W,C] arrays. Yields lists of Detections in
-        submission order.
+        submission order. Unlike ``__call__``, stream() does NOT auto-grow a
+        saturated candidate buffer (batches are already in flight at the old K);
+        it emits the saturation warning — size ``k`` for the workload up front.
         """
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
