@@ -108,6 +108,27 @@ def main():
         if img_s > best[0]:
             best = (img_s, batch)
 
+    # secondary: camera-native YUV420 ingest (half the H2D bytes of RGB)
+    try:
+        batch = 64
+        pipe = DetectionPipeline(spec, params, thresh=0.24, nms=0.4, k=64,
+                                 compute_dtype=jnp.bfloat16,
+                                 packed_dtype=jnp.float16)
+        yuv = (np.random.rand(batch, spec.net.h * 3 // 2, spec.net.w)
+               * 255).astype(np.uint8)
+        n_batches = 8
+        pipe(yuv)
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for dets in pipe.stream([yuv] * n_batches, depth=2, workers=1):
+                pass
+            dt = min(dt, (time.perf_counter() - t0) / n_batches)
+        log(f"yuv420-ingest streamed batch={batch}: {dt * 1e3:.2f} ms/batch "
+            f"-> {batch / dt:.1f} img/s")
+    except Exception as e:
+        log(f"yuv420 probe failed: {e}")
+
     # secondary: device-resident throughput (input already on-chip) — what the
     # chip itself sustains without this environment's ~60MB/s host tunnel
     try:

@@ -96,3 +96,34 @@ def test_stream_with_im_sizes():
     (out,) = list(pipe.stream([x], im_sizes_iter=iter(sizes)))
     ref = pipe(x, im_sizes=[(128, 96)])
     np.testing.assert_allclose(out[0].bbox, ref[0].bbox, rtol=1e-6)
+
+
+def test_yuv420_ingest_matches_rgb():
+    """YUV420 ingest must produce the same detections as the equivalent RGB."""
+    import jax.numpy as jnp
+    from yolo2_light_tpu.pipeline import yuv420_to_rgb
+    rng = np.random.RandomState(0)
+    h, w = 64, 64
+    yuv = rng.randint(0, 256, (2, h * 3 // 2, w), dtype=np.uint8)
+    rgb_dev = np.asarray(yuv420_to_rgb(jnp.asarray(yuv)))
+    # reference conversion in numpy
+    y = yuv[:, :h, :].astype(np.float32)
+    u = yuv[:, h:h + h // 4, :].reshape(2, h // 2, w // 2).astype(np.float32)
+    v = yuv[:, h + h // 4:, :].reshape(2, h // 2, w // 2).astype(np.float32)
+    u = np.repeat(np.repeat(u, 2, 1), 2, 2) - 128
+    v = np.repeat(np.repeat(v, 2, 1), 2, 2) - 128
+    ref = np.stack([y + 1.402 * v,
+                    y - 0.344136 * u - 0.714136 * v,
+                    y + 1.772 * u], axis=-1)
+    ref = np.clip(ref, 0, 255) / 255.0
+    np.testing.assert_allclose(rgb_dev, ref, atol=1e-4)
+
+    # end-to-end: yuv through the pipeline == converted rgb through the pipeline
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec = parse_network_cfg(cfg, batch=2)
+    params = fuse_conv_batchnorm(spec, random_params(spec, seed=2))
+    pipe = DetectionPipeline(spec, params, thresh=0.3, k=4096)
+    d_yuv = pipe(yuv)
+    d_rgb = pipe(ref.astype(np.float32))
+    for a, b in zip(d_yuv, d_rgb):
+        np.testing.assert_allclose(a.prob, b.prob, rtol=1e-4, atol=1e-5)

@@ -23,6 +23,26 @@ from .post import boxes as post
 from .post.device_decode import decode_and_compact_packed
 
 
+def yuv420_to_rgb(x):
+    """Planar YUV420 (I420) [B, H*3/2, W] uint8 -> RGB f32 [B,H,W,3] in [0,1].
+
+    BT.601 full-range conversion on device; U/V planes are nearest-upsampled 2x.
+    Half the host->device bytes of uint8 RGB — the natural ingest format for
+    camera/video sources (codecs emit YUV, not RGB)."""
+    b, h32, w = x.shape
+    h = (h32 * 2) // 3
+    y = x[:, :h, :].astype(jnp.float32)
+    u = x[:, h: h + h // 4, :].reshape(b, h // 2, w // 2).astype(jnp.float32)
+    v = x[:, h + h // 4:, :].reshape(b, h // 2, w // 2).astype(jnp.float32)
+    u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2) - 128.0
+    v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2) - 128.0
+    r = y + 1.402 * v
+    g = y - 0.344136 * u - 0.714136 * v
+    bch = y + 1.772 * u
+    rgb = jnp.stack([r, g, bch], axis=-1)
+    return jnp.clip(rgb, 0.0, 255.0) * (1.0 / 255.0)
+
+
 class DetectionPipeline:
     """End-to-end detector: ``__call__(images) -> list[Detections]``.
 
@@ -57,6 +77,10 @@ class DetectionPipeline:
         head_specs = self.head_specs
 
         def run(p, x):
+            if x.ndim == 3:
+                # planar YUV420 ingest [B, H*3/2, W] uint8 — camera/codec-native,
+                # half the H2D bytes of RGB; BT.601 conversion on device
+                x = yuv420_to_rgb(x)
             if x.dtype == jnp.uint8:
                 x = x.astype(jnp.float32) * (1.0 / 255.0)
             heads, _ = fwd(p, x)
