@@ -74,12 +74,21 @@ def _main(argv=None) -> int:
     letterbox = _find_flag(args, "-letterbox")
     thresh = _find_value(args, "-thresh", 0.25, float)
     iou_thresh = _find_value(args, "-iou_thresh", 0.5, float)
-    _find_value(args, "-prefix", None)
+    prefix = _find_value(args, "-prefix", None)
     out_filename = _find_value(args, "-out_filename", None)
     save_path = _find_value(args, "-save", "predictions")
     int8_policy = _find_value(args, "-int8_policy", "cpu")
     xnor_kernel = _find_value(args, "-xnor_kernel", "int8")
-    _find_value(args, "-i", 0, int)
+    device_index = _find_value(args, "-i", 0, int)
+    if device_index:
+        # reference: -i selects the GPU (src/main.c:653-661); here the device
+        import jax
+        try:
+            jax.config.update("jax_default_device", jax.devices()[device_index])
+        except IndexError:
+            print(f"device index {device_index} out of range "
+                  f"({len(jax.devices())} devices)", file=sys.stderr)
+            return 1
     input_calibration = _find_value(args, "-input_calibration", 0, int)
     data_parallel = _find_value(args, "-parallel", 0, int)
     profile_dir = _find_value(args, "-profile", None)
@@ -142,7 +151,8 @@ def _main(argv=None) -> int:
         names = load_names(obj_names)
         demo(cfg, weights, thresh, filename, names, quantized=quantized,
              out_filename=out_filename, dont_show=dont_show,
-             int8_policy=int8_policy, compute_dtype=compute_dtype)
+             int8_policy=int8_policy, compute_dtype=compute_dtype,
+             prefix=prefix)
         return 0
     print(f"Not an option: {sub}", file=sys.stderr)
     return 1

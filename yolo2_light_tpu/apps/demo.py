@@ -49,7 +49,7 @@ def _frames(cap, netw, neth, q, stop):
 def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
          quantized: bool = False, out_filename=None, dont_show: bool = True,
          cam_index: int = 0, int8_policy: str = "cpu", max_frames=None,
-         compute_dtype=None) -> int:
+         compute_dtype=None, prefix=None) -> int:
     """Returns number of frames processed. Dense convs default to bf16 on the MXU
     (real-time video favors speed); pass compute_dtype=jnp.float32 for full fp32."""
     import cv2
@@ -103,6 +103,9 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
                 (np.clip(rgb, 0, 1) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR)
             if writer is not None:
                 writer.write(frame_bgr)
+            if prefix:
+                # reference demo -prefix: save numbered frames instead of showing
+                cv2.imwrite(f"{prefix}_{count:08d}.jpg", frame_bgr)
             if not dont_show:
                 cv2.imshow("Demo", frame_bgr)
                 if cv2.waitKey(1) == 27:
