@@ -84,3 +84,60 @@ def test_params_cache_roundtrip(tmp_path):
             assert set(a) == set(b)
             for k in a:
                 np.testing.assert_array_equal(np.asarray(a[k]), b[k])
+
+
+def test_cli_stdin_loop(tmp_path):
+    from yolo2_light_tpu.cfg import parse_network_cfg
+    from yolo2_light_tpu.weights import random_params, save_weights
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec = parse_network_cfg(cfg, batch=1)
+    weights = str(tmp_path / "w.weights")
+    save_weights(spec, random_params(spec, seed=1), weights)
+    names = str(tmp_path / "n.names")
+    with open(names, "w") as f:
+        f.write("a\nb\nc\n")
+    img = os.path.join(DATA, "dog160.png")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from yolo2_light_tpu.apps.cli import main; main()",
+         "detector", "test", names, cfg, weights, "-thresh", "0.5",
+         "-dont_show", "-save", str(tmp_path / "pred")],
+        input=f"{img}\n\n{img}\n", capture_output=True, text=True, env=env,
+        cwd=REPO, timeout=300)
+    assert r.stdout.count("Predicted in") == 2, (r.stdout, r.stderr[-500:])
+    assert r.stdout.count("Enter Image Path:") >= 3
+
+
+def test_parser_error_paths(tmp_path):
+    import pytest as _pytest
+
+    from yolo2_light_tpu.cfg import parse_network_cfg
+    # no [net] first section
+    bad = tmp_path / "bad.cfg"
+    bad.write_text("[convolutional]\nfilters=8\n")
+    with _pytest.raises(ValueError, match="net"):
+        parse_network_cfg(str(bad))
+    # empty cfg
+    empty = tmp_path / "empty.cfg"
+    empty.write_text("\n")
+    with _pytest.raises(ValueError, match="no sections"):
+        parse_network_cfg(str(empty))
+    # yolo filters mismatch
+    mismatch = tmp_path / "mm.cfg"
+    mismatch.write_text("""[net]
+width=32
+height=32
+channels=3
+[convolutional]
+filters=10
+size=1
+activation=linear
+[yolo]
+classes=3
+num=3
+mask=0,1,2
+""")
+    with _pytest.raises(ValueError, match="doesn't correspond"):
+        parse_network_cfg(str(mismatch))
