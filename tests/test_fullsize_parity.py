@@ -82,3 +82,21 @@ def test_yolov3_tiny_int8_fullsize(oracle, tmp_path):
     assert_detections_match(otext, utext, conf_tol=3, px_tol=5,
                             max_unmatched_frac=0.05,
                             context="yolov3-tiny-416-int8")
+
+
+@pytest.mark.slow
+def test_xnor_shipped_cfg_fullsize(oracle, tmp_path):
+    """Shipped tiny-yolo-obj_xnor.cfg (BIT1 convs at 416) vs the reference's
+    CPU bit-GEMM path."""
+    cfg = os.path.join(BIN, "tiny-yolo-obj_xnor.cfg")
+    spec = parse_network_cfg(cfg, batch=1)
+    weights = str(tmp_path / "w.weights")
+    save_weights(spec, random_params(spec, seed=14), weights)
+    head = spec.layers[-1]
+    names_file, names = _names(tmp_path, head.classes)
+    from .util_parity import run_oracle_detect, run_ours_detect
+    otext = run_oracle_detect(oracle, names_file, cfg, weights, IMAGE,
+                              thresh=0.5)
+    utext = run_ours_detect(names, cfg, weights, IMAGE, thresh=0.5)
+    assert_detections_match(otext, utext, px_tol=5, max_unmatched_frac=0.05,
+                            context="tiny-yolo-obj-xnor-416")
