@@ -108,6 +108,29 @@ def main():
         if img_s > best[0]:
             best = (img_s, batch)
 
+    # secondary: INT8 streamed e2e (reference CPU semantics, chained activations)
+    try:
+        from yolo2_light_tpu.quant import quantize_params
+        qparams = quantize_params(spec, params)
+        batch = 32
+        pipe = DetectionPipeline(spec, qparams, "int8", thresh=0.24, nms=0.2,
+                                 k=64, int8_policy="cpu",
+                                 packed_dtype=jnp.float16)
+        x = (np.random.rand(batch, spec.net.h, spec.net.w, spec.net.c)
+             * 255).astype(np.uint8)
+        n_batches = 8
+        pipe(x)
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for dets in pipe.stream([x] * n_batches, depth=2, workers=1):
+                pass
+            dt = min(dt, (time.perf_counter() - t0) / n_batches)
+        log(f"int8(cpu semantics) streamed batch={batch}: {dt * 1e3:.2f} "
+            f"ms/batch -> {batch / dt:.1f} img/s")
+    except Exception as e:
+        log(f"int8 probe failed: {e}")
+
     # secondary: camera-native YUV420 ingest (half the H2D bytes of RGB)
     try:
         batch = 64
