@@ -46,6 +46,32 @@ def test_demo_on_synthetic_video(tmp_path):
     assert frames == 10
 
 
+def test_demo_frame_skip(tmp_path):
+    """-s frame_skip: every frame is detected but only every (s+1)-th is written
+    (reference delay semantics, src/main.c:453,563-570)."""
+    cv2 = pytest.importorskip("cv2")
+    vid = str(tmp_path / "in.mp4")
+    wr = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 10, (128, 96))
+    rng = np.random.RandomState(1)
+    for _ in range(12):
+        wr.write((rng.rand(96, 128, 3) * 255).astype(np.uint8))
+    wr.release()
+
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    weights = _gen_weights(cfg, 3, str(tmp_path))
+    out = str(tmp_path / "out.mp4")
+    from yolo2_light_tpu.apps.demo import demo
+    n = demo(cfg, weights, 0.4, vid, ["aaa", "bbb", "ccc"],
+             out_filename=out, dont_show=True, frame_skip=2)
+    assert n == 12
+    cap = cv2.VideoCapture(out)
+    frames = 0
+    while cap.read()[0]:
+        frames += 1
+    # delay starts at frame_skip: frames 3, 6, 9, 12 are shown
+    assert frames == 4
+
+
 def test_cli_usage_errors():
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
     r = subprocess.run([sys.executable, "-m", "yolo2_light_tpu"],

@@ -120,6 +120,133 @@ def test_tree_region_oracle_parity(oracle, tree_file, tmp_path):
     assert_detections_match(otext, utext, context="yolo9000 tree")
 
 
+MAP_CFG_TEMPLATE = """# mini YOLO9000-with-map region net (test fixture)
+# the reference map decode loops a hard-coded 200 entries
+# (src/yolov2_forward_network.c:694-698) so classes must be >= 200
+[net]
+batch=1
+subdivisions=1
+width=64
+height=64
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+size=1
+stride=1
+pad=1
+filters=430
+activation=linear
+
+[region]
+anchors = 1.08,1.19,  3.42,4.41
+classes=210
+coords=4
+num=2
+softmax=1
+tree={tree_path}
+map={map_path}
+"""
+
+
+def test_region_map_decode_oracle_parity(oracle, tmp_path):
+    """class_map (cfg map=) region decode vs the reference's get_region_boxes_cpu
+    called with a real map (CLI-unreachable; custom harness like the old-INT8 one)."""
+    import subprocess
+
+    from yolo2_light_tpu.cfg import parse_network_cfg
+    from yolo2_light_tpu.models.network import Predictor
+    from yolo2_light_tpu.post import boxes as post
+    from yolo2_light_tpu.weights import random_params, save_weights
+
+    # synthetic 210-node tree: 10 roots, 20 children each (children contiguous)
+    lines = [f"root{r} -1" for r in range(10)]
+    for r in range(10):
+        lines += [f"leaf{r}_{c} {r}" for c in range(20)]
+    tree_path = str(tmp_path / "big.tree")
+    with open(tree_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    # 200-entry map: child indices in a scrambled order
+    rng = np.random.RandomState(5)
+    map_ids = rng.permutation(np.arange(10, 210)).tolist()
+    map_path = str(tmp_path / "t.map")
+    with open(map_path, "w") as f:
+        f.write("\n".join(str(i) for i in map_ids) + "\n")
+
+    cfg = str(tmp_path / "mini-map.cfg")
+    with open(cfg, "w") as f:
+        f.write(MAP_CFG_TEMPLATE.format(tree_path=tree_path, map_path=map_path))
+    spec = parse_network_cfg(cfg, batch=1)
+    head = spec.layers[-1]
+    assert head.class_map == tuple(map_ids)
+    weights = str(tmp_path / "w.weights")
+    save_weights(spec, random_params(spec, seed=13), weights)
+
+    # build the harness against the oracle objects
+    oracle_dir = os.path.dirname(oracle)
+    harness = os.path.join(oracle_dir, "region_map_harness")
+    if not os.path.exists(harness):
+        hobj = os.path.join(oracle_dir, "region_map_harness.o")
+        subprocess.run(["gcc", "-O1", "-I/root/reference/src", "-c",
+                        os.path.join(DATA, "region_map_harness.c"), "-o", hobj],
+                       check=True, capture_output=True)
+        objs = [os.path.join(oracle_dir, o) for o in
+                ("additionally.o", "box.o", "yolov2_forward_network.o",
+                 "yolov2_forward_network_quantized.o")]
+        subprocess.run(["gcc", "-O1", hobj] + objs +
+                       ["-o", harness, "-lm", "-pthread"],
+                       check=True, capture_output=True)
+
+    # hierarchy path-probs of a random 10x20 tree are ~1/200; threshold below that
+    thresh = 0.002
+    x_hwc = np.random.RandomState(3).rand(64, 64, 3).astype(np.float32)
+    inp = str(tmp_path / "in.f32")
+    np.transpose(x_hwc, (2, 0, 1)).astype(np.float32).tofile(inp)
+    res = subprocess.run([harness, cfg, weights, inp, map_path, str(thresh)],
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-800:]
+
+    total = head.out_w * head.out_h * head.n
+    ref_boxes = np.zeros((total, 4), np.float32)
+    ref_probs = np.zeros((total, 200), np.float32)
+    for line in res.stdout.splitlines():
+        parts = line.split()
+        if parts[0] == "BOX":
+            ref_boxes[int(parts[1])] = [float(v) for v in parts[2:6]]
+        elif parts[0] == "PROB":
+            ref_probs[int(parts[1]), int(parts[2])] = float(parts[3])
+
+    from yolo2_light_tpu.weights import fuse_conv_batchnorm, load_weights
+    params = fuse_conv_batchnorm(spec, load_weights(spec, weights))
+    heads = Predictor(spec, params)(x_hwc[None])
+    dets = post.get_network_boxes([np.asarray(h.data[0]) for h in heads],
+                                  [head], 1, 1, 64, 64, thresh)
+    np.testing.assert_allclose(dets.bbox, ref_boxes, rtol=2e-4, atol=2e-5)
+    ours = dets.prob[:, :200]
+    assert np.all(dets.prob[:, 200:] == 0)
+    # entries past the prob > thresh boundary must agree; boundary flips from float
+    # noise are tolerated only within a hair of the threshold
+    both = (ours > 0) & (ref_probs > 0)
+    np.testing.assert_allclose(ours[both], ref_probs[both], rtol=2e-4, atol=2e-5)
+    flipped = (ours > 0) != (ref_probs > 0)
+    if flipped.any():
+        vals = np.maximum(ours[flipped], ref_probs[flipped])
+        assert np.all(np.abs(vals - thresh) < 1e-4), vals
+    # the map decode must actually fire (nonzero probs exist)
+    assert (ref_probs > 0).sum() > 0
+
+
 def test_tree_device_decode_matches_host(tree_file, tmp_path):
     """DetectionPipeline (device decode) must apply the hierarchy exactly like the
     host path for YOLO9000 models."""

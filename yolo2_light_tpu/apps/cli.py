@@ -10,7 +10,7 @@ Usage mirrors the reference binary:
 
 Flags: -thresh F (default .25 like the reference; the shipped scripts pass .24),
 -iou_thresh F, -quantized, -dont_show, -letterbox, -out_filename S, -save PATH,
--int8_policy cpu|gpu, -batch N.
+-c CAM_INDEX, -s FRAME_SKIP (demo), -int8_policy cpu|gpu, -batch N.
 """
 
 from __future__ import annotations
@@ -74,6 +74,8 @@ def _main(argv=None) -> int:
     letterbox = _find_flag(args, "-letterbox")
     thresh = _find_value(args, "-thresh", 0.25, float)
     iou_thresh = _find_value(args, "-iou_thresh", 0.5, float)
+    cam_index = _find_value(args, "-c", 0, int)       # src/main.c:591
+    frame_skip = _find_value(args, "-s", 0, int)      # src/main.c:594
     prefix = _find_value(args, "-prefix", None)
     out_filename = _find_value(args, "-out_filename", None)
     save_path = _find_value(args, "-save", "predictions")
@@ -152,7 +154,7 @@ def _main(argv=None) -> int:
         demo(cfg, weights, thresh, filename, names, quantized=quantized,
              out_filename=out_filename, dont_show=dont_show,
              int8_policy=int8_policy, compute_dtype=compute_dtype,
-             prefix=prefix)
+             prefix=prefix, cam_index=cam_index, frame_skip=frame_skip)
         return 0
     print(f"Not an option: {sub}", file=sys.stderr)
     return 1

@@ -2,8 +2,13 @@
 
 The reference pipelines one fetch pthread against one detect pthread with triple
 image buffering (src/main.c:490-572). Here a producer thread feeds capture+resize
-into a bounded queue while the main thread streams micro-batches through the fused
-TPU pipeline (DetectionPipeline.stream) — same overlap, plus device batching.
+into a bounded queue while micro-batches stream through the fused TPU pipeline
+(DetectionPipeline.stream, depth=2): H2D, device compute, D2H and host NMS all
+overlap — the same overlap, plus device batching.
+
+``frame_skip`` reproduces the reference's ``-s`` delay semantics (src/main.c:453,
+563-570): every frame is detected, but the displayed/saved image and the FPS
+counter only advance every ``frame_skip + 1`` frames.
 """
 
 from __future__ import annotations
@@ -17,7 +22,6 @@ import numpy as np
 
 from ..io import image as im_io
 from ..pipeline import DetectionPipeline
-from ..post import boxes as post
 from .detect import build_params
 
 
@@ -49,9 +53,12 @@ def _frames(cap, netw, neth, q, stop):
 def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
          quantized: bool = False, out_filename=None, dont_show: bool = True,
          cam_index: int = 0, int8_policy: str = "cpu", max_frames=None,
-         compute_dtype=None, prefix=None) -> int:
+         compute_dtype=None, prefix=None, frame_skip: int = 0,
+         batch: int = 0) -> int:
     """Returns number of frames processed. Dense convs default to bf16 on the MXU
-    (real-time video favors speed); pass compute_dtype=jnp.float32 for full fp32."""
+    (real-time video favors speed); pass compute_dtype=jnp.float32 for full fp32.
+    ``batch``: frames per device step (default: 4 for file sources — throughput;
+    1 for cameras — latency)."""
     import cv2
     import jax.numpy as jnp
 
@@ -62,6 +69,8 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
                              int8_policy=int8_policy,
                              compute_dtype=cd)
     classes = pipe.classes
+    if batch <= 0:
+        batch = 4 if filename else 1
 
     cap = cv2.VideoCapture(filename if filename else cam_index)
     if not cap.isOpened():
@@ -77,46 +86,78 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
         writer = cv2.VideoWriter(out_filename,
                                  cv2.VideoWriter_fourcc(*"mp4v"), fps_in, (w, h))
 
-    q: queue.Queue = queue.Queue(maxsize=4)
+    q: queue.Queue = queue.Queue(maxsize=2 * batch + 2)
     stop = threading.Event()
     t = threading.Thread(target=_frames,
                          args=(cap, spec.net.w, spec.net.h, q, stop), daemon=True)
     t.start()
 
+    # rgb frames ride alongside the device batches; stream() yields in submission
+    # order and prefetches at most `depth` batches, so this stays small
+    rgb_batches: list = []
+
     def batches():
-        while True:
-            item = q.get()
-            if item is None:
+        done = False
+        while not done:
+            rgbs, sizeds = [], []
+            while len(sizeds) < batch:
+                item = q.get()
+                if item is None:
+                    done = True
+                    break
+                rgbs.append(item[0])
+                sizeds.append(item[1])
+            if not sizeds:
                 return
-            rgb, sized = item
-            yield rgb, sized
+            rgb_batches.append(rgbs)
+            yield np.stack(sizeds)
+
+    def sizes():
+        # im_sizes must be generated lazily batch-by-batch alongside batches()
+        while True:
+            yield [(r.shape[1], r.shape[0]) for r in rgb_batches[-1]]
 
     count = 0
     fps = 0.0
+    delay = frame_skip
     before = time.time()
-    pending = []
+    stop_all = False
     try:
-        for rgb, sized in batches():
-            dets = pipe(sized[None], im_sizes=[(rgb.shape[1], rgb.shape[0])])[0]
-            im_io.draw_detections(rgb, dets, names, thresh, classes)
-            frame_bgr = cv2.cvtColor(
-                (np.clip(rgb, 0, 1) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR)
-            if writer is not None:
-                writer.write(frame_bgr)
-            if prefix:
-                # reference demo -prefix: save numbered frames instead of showing
-                cv2.imwrite(f"{prefix}_{count:08d}.jpg", frame_bgr)
-            if not dont_show:
-                cv2.imshow("Demo", frame_bgr)
-                if cv2.waitKey(1) == 27:
+        sizes_it = iter(sizes())
+        for dets_list in pipe.stream(batches(), im_sizes_iter=sizes_it,
+                                     depth=2, workers=1):
+            rgbs = rgb_batches.pop(0)
+            for rgb, dets in zip(rgbs, dets_list):
+                count += 1
+                # reference delay gate: draw/show/save only when delay hits 0
+                show_frame = delay == 0
+                if show_frame:
+                    im_io.draw_detections(rgb, dets, names, thresh, classes)
+                    frame_bgr = cv2.cvtColor(
+                        (np.clip(rgb, 0, 1) * 255).astype(np.uint8),
+                        cv2.COLOR_RGB2BGR)
+                    if writer is not None:
+                        writer.write(frame_bgr)
+                    if prefix:
+                        # reference -prefix: save numbered frames, don't show
+                        cv2.imwrite(f"{prefix}_{count:08d}.jpg", frame_bgr)
+                    elif not dont_show:
+                        cv2.imshow("Demo", frame_bgr)
+                        if cv2.waitKey(1) == 27:
+                            stop_all = True
+                delay -= 1
+                if delay < 0:
+                    delay = frame_skip
+                    after = time.time()
+                    fps = (frame_skip + 1) / max(after - before, 1e-6)
+                    before = after
+                    print(f"\033[2J\033[1;1H\nFPS:{fps:.1f}\nObjects:\n",
+                          file=sys.stderr)
+                if max_frames is not None and count >= max_frames:
+                    stop_all = True
+                if stop_all:
                     break
-            count += 1
-            after = time.time()
-            fps = 1.0 / max(after - before, 1e-6)
-            before = after
-            print(f"\033[2J\033[1;1H\nFPS:{fps:.1f}\nObjects:\n",
-                  file=sys.stderr)
-            if max_frames is not None and count >= max_frames:
+            if stop_all:
                 break
     finally:
         stop.set()

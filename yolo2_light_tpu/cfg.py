@@ -32,17 +32,22 @@ from typing import Optional, Sequence
 # Activations (reference: src/additionally.h:66-131)
 # ---------------------------------------------------------------------------
 
+# the string mapping recognizes 13 names (src/additionally.h:108-123); notably
+# "selu" has an activate() case but is NOT reachable from a cfg file
 ACTIVATIONS = (
-    "logistic", "relu", "relie", "linear", "ramp", "tanh", "plse", "leaky",
-    "elu", "loggy", "stair", "hardtan", "lhtan", "selu",
+    "logistic", "loggy", "relu", "elu", "relie", "plse", "hardtan", "lhtan",
+    "linear", "ramp", "leaky", "tanh", "stair",
 )
 
 
 def get_activation(name: str) -> str:
-    """Map activation name to canonical form; unknown names fall back to relu
-    (reference: get_activation, src/additionally.h:112-131)."""
+    """Map activation name to canonical form; unknown names fall back to relu with a
+    warning (reference: get_activation, src/additionally.h:112-124)."""
     if name in ACTIVATIONS:
         return name
+    import sys
+    print(f"Couldn't find activation function {name}, going with ReLU",
+          file=sys.stderr)
     return "relu"
 
 
@@ -60,17 +65,32 @@ class Section:
         self.used.add(key)
         return self.options.get(key, default)
 
-    def find_int(self, key: str, default: int) -> int:
-        v = self.find(key)
-        return int(v) if v is not None else default
+    def _default(self, key, default, quiet, fmt):
+        # non-quiet option_find_* variants announce fallbacks on stderr
+        # (reference: option_find_int/float/str, src/additionally.c:3358-3398)
+        if not quiet:
+            import sys
+            print(f"{key}: Using default '{fmt}'", file=sys.stderr)
+        return default
 
-    def find_float(self, key: str, default: float) -> float:
+    def find_int(self, key: str, default: int, quiet: bool = True) -> int:
         v = self.find(key)
-        return float(v) if v is not None else default
+        return int(v) if v is not None else self._default(key, default, quiet,
+                                                          f"{default:d}")
 
-    def find_str(self, key: str, default: Optional[str]) -> Optional[str]:
+    def find_float(self, key: str, default: float, quiet: bool = True) -> float:
         v = self.find(key)
-        return v if v is not None else default
+        return float(v) if v is not None else self._default(key, default, quiet,
+                                                            f"{default:f}")
+
+    def find_str(self, key: str, default: Optional[str],
+                 quiet: bool = True) -> Optional[str]:
+        v = self.find(key)
+        if v is not None:
+            return v
+        # reference option_find_str only prints when the default is non-null
+        return self._default(key, default, quiet or default is None,
+                             default)
 
     def unused_keys(self):
         return [k for k in self.options if k not in self.used]
@@ -206,6 +226,8 @@ class YoloSpec(LayerSpec):
     truth_thresh: float = 1.0
     random: int = 0
     focal_loss: int = 0
+    class_map: tuple = None     # map= file contents (src/additionally.c:3662-3663);
+                                # parsed but unused in yolo decode, like the reference
 
 
 @dataclass(frozen=True)
@@ -222,12 +244,25 @@ class RegionSpec(LayerSpec):
     rescore: int = 0
     bias_match: int = 0
     softmax_tree: object = None        # Tree (yolo2_light_tpu.tree) or None
+    class_map: tuple = None     # map= class-index list (src/additionally.c:3603-3604);
+                                # drives the YOLO9000 tree decode when supplied
+    # training-only aux options, accepted for cfg parity (src/additionally.c:3582-3599)
+    log: int = 0
+    sqrt: int = 0
+    absolute: int = 0
+    random: int = 0
+    coord_scale: float = 1.0
+    object_scale: float = 1.0
+    noobject_scale: float = 1.0
+    class_scale: float = 1.0
 
 
 @dataclass(frozen=True)
 class SoftmaxSpec(LayerSpec):
     groups: int = 1
     temperature: float = 1.0
+    softmax_tree: object = None  # tree= (reference: parse_softmax,
+                                 # src/additionally.c:3695-3696)
 
 
 @dataclass(frozen=True)
@@ -292,35 +327,87 @@ def section_layer_type(section_type: str) -> str:
 
 
 def _parse_net(s: Section) -> NetSpec:
-    batch = s.find_int("batch", 1)
-    subdivs = s.find_int("subdivisions", 1)
+    """[net] options with reference lookup order/loudness (parse_net_options,
+    src/additionally.c:3858-3952). Training-only keys are read purely so that
+    (a) missing loud keys print ``Using default`` and (b) present keys don't
+    later print ``Unused field`` — their values don't drive inference."""
+    batch = s.find_int("batch", 1, quiet=False)
+    s.find_float("learning_rate", 0.001, quiet=False)
+    s.find_float("momentum", 0.9, quiet=False)
+    s.find_float("decay", 0.0001, quiet=False)
+    subdivs = s.find_int("subdivisions", 1, quiet=False)
     time_steps = s.find_int("time_steps", 1)
     batch = (batch // subdivs) * time_steps
+    calib = s.find_str("input_calibration", None)
+    calibration = tuple(_parse_float_list(calib)) if calib else ()
+    if s.find_int("adam", 0):
+        s.find_float("B1", 0.9, quiet=False)
+        s.find_float("B2", 0.999, quiet=False)
+        s.find_float("eps", 0.000001, quiet=False)
     h = s.find_int("height", 0)
     w = s.find_int("width", 0)
     c = s.find_int("channels", 0)
     inputs = s.find_int("inputs", h * w * c)
-    calib = s.find_str("input_calibration", None)
-    calibration = tuple(_parse_float_list(calib)) if calib else ()
+    s.find_int("max_crop", w * 2)
+    s.find_int("min_crop", w)
+    for k, d in (("angle", 0.0), ("aspect", 1.0), ("saturation", 1.0),
+                 ("exposure", 1.0), ("hue", 0.0)):
+        s.find_float(k, d)
     if not inputs and not (h and w and c):
         raise ValueError("No input parameters supplied")
+    policy = s.find_str("policy", "constant", quiet=False)
+    if policy not in ("random", "poly", "constant", "step", "exp", "sigmoid",
+                      "steps"):
+        import sys
+        print(f"Couldn't find policy {policy}, going with constant",
+              file=sys.stderr)
+        policy = "constant"
+    s.find_int("burn_in", 0)
+    if policy == "step":
+        s.find_int("step", 1, quiet=False)
+        s.find_float("scale", 1.0, quiet=False)
+    elif policy == "steps":
+        steps = s.find("steps")
+        scales = s.find("scales")
+        if steps is None or scales is None:
+            raise ValueError("STEPS policy must have steps and scales in cfg file")
+    elif policy == "exp":
+        s.find_float("gamma", 1.0, quiet=False)
+    elif policy == "sigmoid":
+        s.find_float("gamma", 1.0, quiet=False)
+        s.find_int("step", 1, quiet=False)
+    elif policy in ("poly", "random"):
+        s.find_float("power", 1.0, quiet=False)
+    s.find_int("max_batches", 0, quiet=False)
     return NetSpec(batch=batch, w=w, h=h, c=c, inputs=inputs,
                    subdivisions=subdivs, input_calibration=calibration)
 
 
+def _resolve_aux_path(path, cfg_path):
+    """Reference passes cfg-referenced aux paths (tree=, map=) verbatim to fopen
+    (src/additionally.c:3601-3604); we also try next to the cfg for convenience."""
+    import os
+    if path and not os.path.exists(path):
+        cand = os.path.join(os.path.dirname(os.path.abspath(cfg_path)), path)
+        if os.path.exists(cand):
+            return cand
+    return path
+
+
 def _load_tree(tree_file, cfg_path):
-    """Resolve and parse a [region]/[softmax] tree= file (reference passes the raw
-    path to read_tree, src/additionally.c:3602); we also try next to the cfg."""
     if not tree_file:
         return None
-    import os
-
     from .tree import read_tree
-    if not os.path.exists(tree_file):
-        cand = os.path.join(os.path.dirname(os.path.abspath(cfg_path)), tree_file)
-        if os.path.exists(cand):
-            tree_file = cand
-    return read_tree(tree_file)
+    return read_tree(_resolve_aux_path(tree_file, cfg_path))
+
+
+def _load_map(map_file, cfg_path):
+    """[region]/[yolo] ``map=`` class-index file (reference: read_map at
+    src/additionally.c:1649, parsed at :3603-3604 and :3662-3663)."""
+    if not map_file:
+        return None
+    from .tree import read_map
+    return tuple(read_map(_resolve_aux_path(map_file, cfg_path)))
 
 
 def _conv_quant_eligible(index: int, activation: str, stride: int, size: int,
@@ -365,14 +452,16 @@ def parse_network_cfg(path: str, batch: int = 0, quantized: bool = False) -> Mod
                     section_layer_type(body[count + 2].type) == "yolo":
                 quant_state = False
 
-            n = s.find_int("filters", 1)
-            size = s.find_int("size", 1)
-            stride = s.find_int("stride", 1)
+            n = s.find_int("filters", 1, quiet=False)
+            size = s.find_int("size", 1, quiet=False)
+            stride = s.find_int("stride", 1, quiet=False)
             pad_flag = s.find_int("pad", 0)
             padding = s.find_int("padding", 0)
             if pad_flag:
                 padding = size // 2
-            activation = get_activation(s.find_str("activation", "logistic"))
+            activation = get_activation(s.find_str("activation", "logistic",
+                                                   quiet=False))
+            s.find_float("dot", 0.0)  # accepted, training-only (additionally.c:3562)
             if not (h and w and c):
                 raise ValueError("Layer before convolutional layer must output image.")
             bn = bool(s.find_int("batch_normalize", 0))
@@ -391,8 +480,8 @@ def parse_network_cfg(path: str, batch: int = 0, quantized: bool = False) -> Mod
             )
 
         elif lt == "maxpool":
-            stride = s.find_int("stride", 1)
-            size = s.find_int("size", stride)
+            stride = s.find_int("stride", 1, quiet=False)
+            size = s.find_int("size", stride, quiet=False)
             padding = s.find_int("padding", size - 1)
             if not (h and w and c):
                 raise ValueError("Layer before maxpool layer must output image.")
@@ -421,7 +510,7 @@ def parse_network_cfg(path: str, batch: int = 0, quantized: bool = False) -> Mod
                               layers=tuple(idxs), input_sizes=input_sizes)
 
         elif lt == "reorg":
-            stride = s.find_int("stride", 1)
+            stride = s.find_int("stride", 1, quiet=False)
             reverse = bool(s.find_int("reverse", 0))
             if not (h and w and c):
                 raise ValueError("Layer before reorg layer must output image.")
@@ -433,7 +522,7 @@ def parse_network_cfg(path: str, batch: int = 0, quantized: bool = False) -> Mod
                               stride=stride, reverse=reverse)
 
         elif lt == "upsample":
-            stride = s.find_int("stride", 2)
+            stride = s.find_int("stride", 2, quiet=False)
             scale = s.find_float("scale", 1.0)
             layer = UpsampleSpec(**common, out_w=w * stride, out_h=h * stride,
                                  out_c=c, stride=stride, scale=scale)
@@ -443,19 +532,27 @@ def parse_network_cfg(path: str, batch: int = 0, quantized: bool = False) -> Mod
             fidx = int(from_str)
             if fidx < 0:
                 fidx = count + fidx
-            activation = get_activation(s.find_str("activation", "linear"))
+            activation = get_activation(s.find_str("activation", "linear",
+                                                   quiet=False))
             # out dims = input dims (reference: make_shortcut_layer)
             layer = ShortcutSpec(**common, out_w=w, out_h=h, out_c=c,
                                  from_index=fidx, activation=activation)
 
         elif lt == "yolo":
-            classes = s.find_int("classes", 20)
-            total = s.find_int("num", 1)
+            classes = s.find_int("classes", 20, quiet=False)
+            total = s.find_int("num", 1, quiet=False)
             mask_str = s.find_str("mask", None)
             mask = tuple(_parse_int_list(mask_str)) if mask_str else None
             num = len(mask) if mask else total
             if mask is None:
                 mask = tuple(range(num))
+            max_boxes = s.find_int("max", 90)
+            class_map = _load_map(s.find_str("map", None), path)
+            jitter = s.find_float("jitter", 0.2, quiet=False)
+            focal_loss = s.find_int("focal_loss", 0)
+            ignore_thresh = s.find_float("ignore_thresh", 0.5, quiet=False)
+            truth_thresh = s.find_float("truth_thresh", 1.0, quiet=False)
+            rand = s.find_int("random", 0)
             anchors_str = s.find_str("anchors", None)
             anchors = [0.5] * (2 * total)
             if anchors_str:
@@ -466,21 +563,40 @@ def parse_network_cfg(path: str, batch: int = 0, quantized: bool = False) -> Mod
             layer = YoloSpec(**common, out_w=w, out_h=h, out_c=out_c,
                              n=num, total=total, mask=mask, classes=classes,
                              anchors=tuple(anchors),
-                             max_boxes=s.find_int("max", 90),
-                             jitter=s.find_float("jitter", 0.2),
-                             ignore_thresh=s.find_float("ignore_thresh", 0.5),
-                             truth_thresh=s.find_float("truth_thresh", 1.0),
-                             random=s.find_int("random", 0),
-                             focal_loss=s.find_int("focal_loss", 0))
+                             max_boxes=max_boxes,
+                             jitter=jitter,
+                             ignore_thresh=ignore_thresh,
+                             truth_thresh=truth_thresh,
+                             random=rand,
+                             focal_loss=focal_loss,
+                             class_map=class_map)
             if layer.outputs != inputs:
                 raise ValueError(
                     "filters= in the [convolutional]-layer doesn't correspond to "
                     "classes= or mask= in [yolo]-layer")
 
         elif lt == "region":
-            coords = s.find_int("coords", 4)
-            classes = s.find_int("classes", 20)
-            num = s.find_int("num", 1)
+            # lookup order/loudness mirrors parse_region (src/additionally.c:3573-3620)
+            coords = s.find_int("coords", 4, quiet=False)
+            classes = s.find_int("classes", 20, quiet=False)
+            num = s.find_int("num", 1, quiet=False)
+            log_ = s.find_int("log", 0)
+            sqrt_ = s.find_int("sqrt", 0)
+            softmax = bool(s.find_int("softmax", 0, quiet=False))
+            max_boxes = s.find_int("max", 30)
+            jitter = s.find_float("jitter", 0.2, quiet=False)
+            rescore = s.find_int("rescore", 0)
+            thresh = s.find_float("thresh", 0.5, quiet=False)
+            classfix = s.find_int("classfix", 0)
+            absolute = s.find_int("absolute", 0)
+            rand = s.find_int("random", 0)
+            coord_scale = s.find_float("coord_scale", 1.0, quiet=False)
+            object_scale = s.find_float("object_scale", 1.0, quiet=False)
+            noobject_scale = s.find_float("noobject_scale", 1.0, quiet=False)
+            class_scale = s.find_float("class_scale", 1.0, quiet=False)
+            bias_match = s.find_int("bias_match", 0)
+            tree = _load_tree(s.find_str("tree", None), path)
+            class_map = _load_map(s.find_str("map", None), path)
             anchors_str = s.find_str("anchors", None)
             anchors = [0.5] * (2 * num)
             if anchors_str:
@@ -491,15 +607,21 @@ def parse_network_cfg(path: str, batch: int = 0, quantized: bool = False) -> Mod
             layer = RegionSpec(**common, out_w=w, out_h=h, out_c=out_c,
                                n=num, classes=classes, coords=coords,
                                anchors=tuple(anchors),
-                               softmax=bool(s.find_int("softmax", 0)),
-                               max_boxes=s.find_int("max", 30),
-                               thresh=s.find_float("thresh", 0.5),
-                               classfix=s.find_int("classfix", 0),
-                               jitter=s.find_float("jitter", 0.2),
-                               rescore=s.find_int("rescore", 0),
-                               bias_match=s.find_int("bias_match", 0),
-                               softmax_tree=_load_tree(s.find_str("tree", None),
-                                                       path))
+                               softmax=softmax,
+                               max_boxes=max_boxes,
+                               thresh=thresh,
+                               classfix=classfix,
+                               jitter=jitter,
+                               rescore=rescore,
+                               bias_match=bias_match,
+                               softmax_tree=tree,
+                               class_map=class_map,
+                               log=log_, sqrt=sqrt_, absolute=absolute,
+                               random=rand,
+                               coord_scale=coord_scale,
+                               object_scale=object_scale,
+                               noobject_scale=noobject_scale,
+                               class_scale=class_scale)
             if layer.outputs != inputs:
                 raise ValueError("region layer outputs != inputs")
 
@@ -509,7 +631,9 @@ def parse_network_cfg(path: str, batch: int = 0, quantized: bool = False) -> Mod
             layer = SoftmaxSpec(index=count, w=inputs, h=1, c=1,
                                 out_w=inputs, out_h=1, out_c=1,
                                 groups=groups,
-                                temperature=s.find_float("temperature", 1.0))
+                                temperature=s.find_float("temperature", 1.0),
+                                softmax_tree=_load_tree(s.find_str("tree", None),
+                                                        path))
 
         else:
             raise ValueError(f"Type not recognized: {s.type}")

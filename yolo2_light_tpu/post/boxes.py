@@ -141,10 +141,15 @@ def get_region_detections(head: np.ndarray, anchors, classes: int, coords: int,
         from ..tree import hierarchy_predictions
         preds = hierarchy_predictions(head[..., coords + 1:], tree)
         if class_map is not None:
-            # map-file path: prob = scale * preds[map[j]], zeroed at <= thresh
-            sel = preds[..., np.asarray(class_map)]
-            probs = sel * scale[..., None]
-            probs[probs <= thresh] = 0.0
+            # map-file path (reference: src/yolov2_forward_network.c:694-698):
+            # prob_j = scale * preds[map[j]] for j < len(map), zeroed at <= thresh;
+            # columns past the map stay zero (reference rows are l.classes wide
+            # with only the mapped prefix written)
+            cm = np.asarray(class_map)
+            sel = preds[..., cm] * scale[..., None]
+            sel[sel <= thresh] = 0.0
+            probs = np.zeros(preds.shape[:-1] + (classes,), np.float32)
+            probs[..., : cm.size] = sel
         else:
             # keep only the deepest (highest-index) node with pred > 0.5 per box;
             # prob_j = (scale > thresh) ? pred_j : 0
@@ -172,10 +177,17 @@ def get_region_detections(head: np.ndarray, anchors, classes: int, coords: int,
 
 def get_network_boxes(head_outputs, head_specs, w: int, h: int,
                       netw: int, neth: int, thresh: float,
-                      relative: bool = True, letter: bool = False) -> Detections:
+                      relative: bool = True, letter: bool = False,
+                      class_map=None) -> Detections:
     """Decode all heads of one image (reference: get_network_boxes,
     src/additionally.c:4403). ``head_outputs``: list of np arrays [H,W,n,entries]
-    (batch already sliced); ``head_specs``: matching YoloSpec/RegionSpec list."""
+    (batch already sliced); ``head_specs``: matching YoloSpec/RegionSpec list.
+
+    ``class_map`` mirrors the reference's caller-supplied ``map`` argument (every
+    reference CLI call site passes 0, src/main.c:228); when None, a region head's
+    cfg-parsed ``map=`` list (spec.class_map) is used, making the cfg option
+    reachable. The yolo decode accepts but ignores map, like the reference
+    (get_yolo_detections never reads it, src/additionally.c:4328-4358)."""
     from ..cfg import RegionSpec, YoloSpec
     parts = []
     for out, spec in zip(head_outputs, head_specs):
@@ -184,10 +196,11 @@ def get_network_boxes(head_outputs, head_specs, w: int, h: int,
                 out, spec.mask, spec.anchors, spec.classes, w, h, netw, neth,
                 thresh, relative, letter))
         elif isinstance(spec, RegionSpec):
+            cm = class_map if class_map is not None else spec.class_map
             parts.append(get_region_detections(
                 out, spec.anchors, spec.classes, spec.coords, spec.classfix,
                 w, h, netw, neth, thresh, relative, letter,
-                tree=spec.softmax_tree))
+                tree=spec.softmax_tree, class_map=cm))
     if not parts:
         return Detections.empty(0)
     return Detections.concat(parts)
@@ -256,6 +269,50 @@ def do_nms_sort(dets: Detections, classes: int, thresh: float) -> Detections:
             prob[rest[iou_cache[i, rest] > thresh], k] = 0.0
     dets.prob[idx_live] = prob
     return dets
+
+
+def do_nms_sort_v2(boxes: np.ndarray, probs: np.ndarray, classes: int,
+                   thresh: float) -> None:
+    """Legacy sorted NMS over a dense (boxes, probs-matrix) pair, in place
+    (reference: do_nms_sort_v2, src/box.c:249-277 — dead from the reference CLI,
+    kept for component parity like the old INT8 pipeline).
+
+    Differs from :func:`do_nms_sort` in that there is no objectness prefilter:
+    every box participates, per class, in descending-prob order."""
+    total = boxes.shape[0]
+    if total == 0:
+        return
+    iou = box_iou(boxes, boxes)
+    for k in range(classes):
+        order = np.argsort(-probs[:, k], kind="stable")
+        for oi in range(total):
+            i = order[oi]
+            if probs[i, k] == 0:
+                continue
+            rest = order[oi + 1:]
+            probs[rest[iou[i, rest] > thresh], k] = 0.0
+
+
+def do_nms(boxes: np.ndarray, probs: np.ndarray, classes: int,
+           thresh: float) -> None:
+    """Legacy unsorted pairwise NMS, in place (reference: do_nms,
+    src/box.c:330-348 — dead from the reference CLI, kept for component parity).
+
+    For each overlapping pair (i, j<i...N), the smaller per-class prob is zeroed
+    (ties zero the later box); box i is skipped entirely only when all its probs
+    are already zero when its turn comes."""
+    total = boxes.shape[0]
+    if total == 0:
+        return
+    iou = box_iou(boxes, boxes)
+    for i in range(total):
+        if not (probs[i] > 0).any():
+            continue
+        for j in range(i + 1, total):
+            if iou[i, j] > thresh:
+                i_smaller = probs[i] < probs[j]
+                probs[i, i_smaller] = 0.0
+                probs[j, ~i_smaller] = 0.0
 
 
 # ---------------------------------------------------------------------------

@@ -83,14 +83,24 @@ def _decode_region(h, spec: RegionSpec, netw: int, neth: int, thresh: float):
             if idx.size == 0:
                 continue
             preds = preds.at[..., idx].multiply(preds[..., parent[idx]])
-        over = preds > 0.5
-        classes_n = preds.shape[-1]
-        rev_first = jnp.argmax(over[..., ::-1], axis=-1)
-        keep_idx = jnp.where(over.any(-1), classes_n - 1 - rev_first, -1)
-        onehot = (jnp.arange(classes_n)[None, None, None, None, :]
-                  == keep_idx[..., None])
-        probs = jnp.where(onehot, preds, 0.0)
-        probs = jnp.where((scale > thresh)[..., None], probs, 0.0)
+        if spec.class_map is not None:
+            # map-file decode (reference: src/yolov2_forward_network.c:694-698):
+            # prob_j = scale * preds[map[j]], zeroed at <= thresh; columns past
+            # the map stay zero
+            cm = np.asarray(spec.class_map)
+            sel = preds[..., cm] * scale[..., None]
+            sel = jnp.where(sel > thresh, sel, 0.0)
+            probs = jnp.zeros(preds.shape[:-1] + (spec.classes,), preds.dtype)
+            probs = probs.at[..., : cm.size].set(sel)
+        else:
+            over = preds > 0.5
+            classes_n = preds.shape[-1]
+            rev_first = jnp.argmax(over[..., ::-1], axis=-1)
+            keep_idx = jnp.where(over.any(-1), classes_n - 1 - rev_first, -1)
+            onehot = (jnp.arange(classes_n)[None, None, None, None, :]
+                      == keep_idx[..., None])
+            probs = jnp.where(onehot, preds, 0.0)
+            probs = jnp.where((scale > thresh)[..., None], probs, 0.0)
     else:
         probs = h[..., coords + 1:] * scale[..., None]
         probs = jnp.where(probs > thresh, probs, 0.0)
