@@ -59,3 +59,33 @@ def test_calibrate_parity(oracle, calib_dataset, tmp_path):
     assert len(ovals) == len(ours)
     for o, u in zip(ovals, ours):
         assert abs(o - u) <= 0.02 * max(abs(o), 1e-6) + 1e-4, (ovals, ours)
+
+    # the bit-exact host sweep must also match
+    ours_host = validate_calibrate(
+        calib_dataset, cfg, weights, input_calibration=2,
+        out_path=str(tmp_path / "ours_host_calibration.txt"), method="host")
+    for o, u in zip(ovals, ours_host):
+        assert abs(o - u) <= 0.02 * max(abs(o), 1e-6) + 1e-4, (ovals, ours_host)
+
+
+def test_entropy_calibration_device_matches_host():
+    """Device KL sweep (f32, vmapped) vs host f64 sweep on assorted activation
+    distributions: same or one-bin-adjacent threshold."""
+    import jax.numpy as jnp
+
+    from yolo2_light_tpu.quant import (activation_histogram,
+                                       entropy_calibration,
+                                       entropy_calibration_multipliers)
+    rng = np.random.RandomState(0)
+    cases = [
+        rng.randn(40000).astype(np.float32) * 12.0,
+        np.abs(rng.randn(40000)).astype(np.float32) * 40.0 + 8.0,
+        rng.exponential(25.0, 40000).astype(np.float32),
+        rng.rand(40000).astype(np.float32) * 250.0,
+    ]
+    hists = jnp.stack([activation_histogram(jnp.asarray(c)) for c in cases])
+    dev = np.asarray(entropy_calibration_multipliers(hists))
+    for c, d in zip(cases, dev):
+        host = entropy_calibration(c, 1.0 / 16, 4096)
+        # multiplier = 127/((idx+.5)/16); one-bin slack ~= 1/(2*idx) relative
+        assert abs(d - host) <= 0.02 * host, (float(d), host)

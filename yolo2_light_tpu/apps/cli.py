@@ -92,6 +92,7 @@ def _main(argv=None) -> int:
                   f"({len(jax.devices())} devices)", file=sys.stderr)
             return 1
     input_calibration = _find_value(args, "-input_calibration", 0, int)
+    calib_method = _find_value(args, "-calib_method", "device")
     data_parallel = _find_value(args, "-parallel", 0, int)
     profile_dir = _find_value(args, "-profile", None)
 
@@ -145,7 +146,8 @@ def _main(argv=None) -> int:
                   "precision-sensitive); -bf16 ignored", file=sys.stderr)
         from .calibrate import validate_calibrate
         validate_calibrate(obj_names, cfg, weights,
-                           input_calibration=input_calibration)
+                           input_calibration=input_calibration,
+                           method=calib_method)
         return 0
     elif sub == "demo":
         from ..datacfg import load_names

@@ -46,108 +46,129 @@ class MapAccumulator:
     def add_image(self, dets: Detections, truth: np.ndarray,
                   truth_dif: np.ndarray | None = None) -> None:
         """``truth``: [T,5] rows (class_id, x, y, w, h) relative; ``truth_dif``:
-        difficult boxes, same layout. ``dets``: post-NMS detections (relative)."""
+        difficult boxes, same layout. ``dets``: post-NMS detections (relative).
+
+        Vectorized over the (detections x classes x truths) cube; semantics match
+        the reference's per-record loop (src/additionally.c:4702-4767) exactly:
+
+        * one ranked record per (det, class) with prob > 0, det-major order
+        * matched to the best-IoU same-class truth above ``iou_thresh`` (first of
+          equal maxima, like the strict ``>`` running max)
+        * unmatched records overlapping a same-class "difficult" truth are dropped
+          from the ranked list but still count as threshold-level FPs
+        * threshold-level TP requires being the image's FIRST kept record (any
+          prob) matched to that truth (the checkpoint rescan at :4752-4756)
+        """
         truth = np.asarray(truth, np.float32).reshape(-1, 5)
         tboxes = truth[:, 1:5]
         tids = truth[:, 0].astype(np.int64)
-        for tid in tids:
-            self.truth_classes_count[tid] += 1
+        np.add.at(self.truth_classes_count, tids, 1)
         dif = (np.asarray(truth_dif, np.float32).reshape(-1, 5)
                if truth_dif is not None else np.zeros((0, 5), np.float32))
 
-        checkpoint_truth_indices: list = []
-        if dets.n:
-            iou_t = (box_iou(dets.bbox, tboxes) if len(tboxes) else
-                     np.zeros((dets.n, 0)))
-            iou_d = (box_iou(dets.bbox, dif[:, 1:5]) if len(dif) else
-                     np.zeros((dets.n, 0)))
-        for i in range(dets.n):
-            for class_id in range(self.classes):
-                prob = float(dets.prob[i, class_id])
-                if prob <= 0:
-                    continue
-                # best same-class truth above iou_thresh
-                truth_index = -1
-                max_iou = 0.0
-                for j in range(len(tboxes)):
-                    cur = float(iou_t[i, j])
-                    if cur > self.iou_thresh and class_id == tids[j] \
-                            and cur > max_iou:
-                        max_iou = cur
-                        truth_index = self.unique_truth_count + j
-                dropped = False
-                if truth_index == -1:
-                    # difficult overlap -> drop the ranked record, but the
-                    # threshold-level FP accounting still runs (the reference's
-                    # --detections_count at src/additionally.c:4745 does not skip
-                    # the prob>thresh block at :4752-4765)
-                    for j in range(len(dif)):
-                        if (iou_d[i, j] > self.iou_thresh
-                                and class_id == int(dif[j, 0])):
-                            dropped = True
-                            break
-                if dropped:
-                    if prob > self.thresh_calc_avg_iou:
-                        self.fp_for_thresh += 1   # truth_index is -1 here
-                    continue
-                self.det_p.append(prob)
-                self.det_class.append(class_id)
-                self.det_truth_flag.append(1 if truth_index > -1 else 0)
-                self.det_truth_index.append(truth_index)
+        if dets.n == 0:
+            self.unique_truth_count += len(tboxes)
+            return
+        # records: (det i, class c) with prob > 0, i-major (reference loop order)
+        ii, cc = np.nonzero(dets.prob > 0)
+        if ii.size == 0:
+            self.unique_truth_count += len(tboxes)
+            return
+        pp = dets.prob[ii, cc].astype(np.float32)
 
-                # threshold-level TP/FP with per-image dedupe
-                # (reference: src/additionally.c:4751-4765)
-                if prob > self.thresh_calc_avg_iou:
-                    found = truth_index in checkpoint_truth_indices
-                    if truth_index > -1 and not found:
-                        self.avg_iou_sum += max_iou
-                        self.tp_for_thresh += 1
-                    else:
-                        self.fp_for_thresh += 1
-                checkpoint_truth_indices.append(truth_index)
+        # best same-class truth above iou_thresh per record
+        if len(tboxes):
+            iou_t = box_iou(dets.bbox, tboxes)                    # [N,T]
+            elig = ((iou_t[ii] > self.iou_thresh)
+                    & (tids[None, :] == cc[:, None]))             # [R,T]
+            masked = np.where(elig, iou_t[ii], -1.0)
+            best_j = np.argmax(masked, axis=1)                    # first max
+            has = elig.any(axis=1)
+            max_iou = np.where(has, masked[np.arange(ii.size), best_j], 0.0)
+            tidx = np.where(has, self.unique_truth_count + best_j, -1)
+        else:
+            max_iou = np.zeros(ii.size, np.float32)
+            tidx = np.full(ii.size, -1, np.int64)
 
+        # unmatched + difficult overlap -> dropped from the ranked list
+        if len(dif):
+            iou_d = box_iou(dets.bbox, dif[:, 1:5])
+            dif_ids = dif[:, 0].astype(np.int64)
+            dif_hit = ((iou_d[ii] > self.iou_thresh)
+                       & (dif_ids[None, :] == cc[:, None])).any(axis=1)
+            dropped = (tidx == -1) & dif_hit
+        else:
+            dropped = np.zeros(ii.size, bool)
+        kept = ~dropped
+
+        # threshold-level TP/FP with per-image first-match dedupe
+        over = pp > self.thresh_calc_avg_iou
+        first_kept = np.zeros(ii.size, bool)
+        kpos = np.nonzero(kept)[0]
+        if kpos.size:
+            _, first = np.unique(tidx[kpos], return_index=True)
+            first_kept[kpos[first]] = True
+        tp_rec = kept & over & (tidx > -1) & first_kept
+        fp_rec = over & ~tp_rec          # dropped, unmatched, or duplicate match
+        self.tp_for_thresh += int(tp_rec.sum())
+        self.fp_for_thresh += int(fp_rec.sum())
+        self.avg_iou_sum += float(max_iou[tp_rec].sum())
+
+        self.det_p.append(pp[kept])
+        self.det_class.append(cc[kept].astype(np.int64))
+        self.det_truth_flag.append((tidx[kept] > -1).astype(np.int64))
+        self.det_truth_index.append(tidx[kept].astype(np.int64))
         self.unique_truth_count += len(tboxes)
 
     def compute(self) -> dict:
-        """Rank sweep + 11-point AP (reference: src/additionally.c:4779-4861)."""
-        n = len(self.det_p)
-        p = np.asarray(self.det_p, np.float32)
-        cls = np.asarray(self.det_class, np.int64)
-        tflag = np.asarray(self.det_truth_flag, np.int64)
-        tidx = np.asarray(self.det_truth_index, np.int64)
-        order = np.argsort(-p, kind="stable")
+        """Rank sweep + 11-point AP (reference: src/additionally.c:4779-4861).
 
-        truth_flags = np.zeros(max(1, self.unique_truth_count), np.int64)
-        tp_c = np.zeros((n, self.classes), np.int64)
-        fp_c = np.zeros((n, self.classes), np.int64)
-        tp_run = np.zeros(self.classes, np.int64)
-        fp_run = np.zeros(self.classes, np.int64)
-        for rank, d in enumerate(order):
-            # reference (src/additionally.c:4816-4826): a duplicate match of an
-            # already-claimed truth counts NEITHER as TP nor FP
-            if tflag[d] == 1:
-                if truth_flags[tidx[d]] == 0:
-                    truth_flags[tidx[d]] = 1
-                    tp_run[cls[d]] += 1
-            else:
-                fp_run[cls[d]] += 1
-            tp_c[rank] = tp_run
-            fp_c[rank] = fp_run
+        Vectorized: the global-rank sweep only changes a class's running (tp, fp)
+        at that class's own records, so each per-class PR curve is a cumsum over
+        the class's records in global rank order — identical values to the
+        reference's full [rank, class] table without materializing it. A
+        duplicate match of an already-claimed truth (in rank order) counts
+        neither as TP nor FP (:4816-4826)."""
+        p = (np.concatenate(self.det_p) if self.det_p
+             else np.zeros(0, np.float32))
+        n = p.size
+        cls = (np.concatenate(self.det_class) if self.det_class
+               else np.zeros(0, np.int64))
+        tflag = (np.concatenate(self.det_truth_flag) if self.det_truth_flag
+                 else np.zeros(0, np.int64))
+        tidx = (np.concatenate(self.det_truth_index) if self.det_truth_index
+                else np.zeros(0, np.int64))
+        order = np.argsort(-p, kind="stable")
+        scls, stflag, stidx = cls[order], tflag[order], tidx[order]
+
+        # TP increment: matched record that is the first (in rank order) to claim
+        # its truth; later claims of the same truth increment nothing
+        tp_inc = np.zeros(n, np.int64)
+        mpos = np.nonzero(stflag == 1)[0]
+        if mpos.size:
+            _, first = np.unique(stidx[mpos], return_index=True)
+            tp_inc[mpos[first]] = 1
+        fp_inc = (stflag == 0).astype(np.int64)
 
         ap = np.zeros(self.classes)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            if n:
-                prec = np.where(tp_c + fp_c > 0, tp_c / (tp_c + fp_c), 0.0)
-                denom = self.truth_classes_count[None, :]
-                rec = np.where(denom > 0, tp_c / np.maximum(denom, 1), 0.0)
-                for i in range(self.classes):
-                    s = 0.0
-                    for point in range(11):
-                        cur_recall = point * 0.1
-                        mask = rec[:, i] >= cur_recall
-                        cur_prec = prec[mask, i].max() if mask.any() else 0.0
-                        s += cur_prec
-                    ap[i] = s / 11.0
+        if n:
+            for i in range(self.classes):
+                sel = scls == i
+                if not sel.any():
+                    continue          # no records of this class -> ap 0
+                tp_c = np.cumsum(tp_inc[sel])
+                fp_c = np.cumsum(fp_inc[sel])
+                denom = tp_c + fp_c
+                prec = np.where(denom > 0, tp_c / np.maximum(denom, 1), 0.0)
+                tcnt = self.truth_classes_count[i]
+                rec = (tp_c / tcnt if tcnt > 0
+                       else np.zeros_like(prec))
+                s = 0.0
+                for point in range(11):
+                    cur_recall = point * 0.1
+                    mask = rec >= cur_recall
+                    s += prec[mask].max() if mask.any() else 0.0
+                ap[i] = s / 11.0
 
         tp, fp = self.tp_for_thresh, self.fp_for_thresh
         avg_iou = self.avg_iou_sum / (tp + fp) if (tp + fp) > 0 else 0.0

@@ -113,7 +113,9 @@ def entropy_calibration(arr: np.ndarray, bin_width: float = 1.0 / 16,
     """
     flat = np.abs(np.asarray(arr, np.float32).reshape(-1))
     last = max_bin - 1
-    bins = np.rint(flat / np.float32(bin_width)).astype(np.int64)
+    # C: lround(fabs(x)/bin_width) — fabs promotes to double, half-away rounding
+    # (NOT half-to-even), src/yolov2_forward_network_quantized.c:1311
+    bins = np.floor(flat.astype(np.float64) / bin_width + 0.5).astype(np.int64)
     np.minimum(bins, last, out=bins)
     H = np.bincount(bins, minlength=max_bin).astype(np.float64)
 
@@ -123,9 +125,12 @@ def entropy_calibration(arr: np.ndarray, bin_width: float = 1.0 / 16,
     for i in range(128, max_bin):
         P = H[:i].copy()
         outliers = total - cumsum[i - 1]
-        qw = i / 128.0
+        qw = np.float32(i / 128.0)
         j = np.arange(i)
-        qbin = np.minimum(np.rint(j / qw).astype(np.int64), 127)
+        # C: lround(j / quant_expand_width) — int/float -> float32 quotient,
+        # lround half-away (ties DO occur when i divides 128*j)
+        q = (j.astype(np.float32) / qw).astype(np.float64)
+        qbin = np.minimum(np.floor(q + 0.5).astype(np.int64), 127)
         quant_Q = np.bincount(qbin, weights=P, minlength=128)
         quant_cnt = np.bincount(qbin, weights=(P != 0).astype(np.float64),
                                 minlength=128)
@@ -145,3 +150,103 @@ def entropy_calibration(arr: np.ndarray, bin_width: float = 1.0 / 16,
     m_index = int(np.argmin(kl[128:]) + 128)
     threshold = (m_index + 0.5) * bin_width
     return float(127.0 / threshold)
+
+
+# ---------------------------------------------------------------------------
+# On-device calibration (TPU-native fast path)
+# ---------------------------------------------------------------------------
+#
+# The reference calibrates on the CPU per image per conv layer with an O(max_bin^2)
+# threshold sweep (src/yolov2_forward_network_quantized.c:1292-1398) — ~30M scalar
+# ops per layer per image, hours for its default 1000 images. TPU-native split:
+# the forward captures per-conv |activation| histograms ON DEVICE (tiny D2H: 4096
+# floats/layer instead of whole activation maps through the host relay), and the
+# KL sweep runs as one vmapped device program over all (layer, threshold) pairs.
+# Same math in f32; ties/rounding can pick a neighboring threshold bin (multiplier
+# differs by ~0.03%), which is noise for calibration purposes — the bit-exact host
+# implementation above remains available (calibrate -calib_method host).
+
+
+def activation_histogram(x, bin_width: float = 1.0 / 16, max_bin: int = 4096):
+    """|x| histogram with ``max_bin`` bins of ``bin_width``, half-away rounding,
+    saturated into the last bin — device-side twin of the reference's histogram
+    build (src/yolov2_forward_network_quantized.c:1309-1317). Returns [max_bin] f32.
+    """
+    import jax.numpy as jnp
+    v = jnp.abs(x.reshape(-1).astype(jnp.float32)) * jnp.float32(1.0 / bin_width)
+    bins = jnp.minimum(jnp.floor(v + 0.5).astype(jnp.int32), max_bin - 1)
+    return jnp.zeros(max_bin, jnp.float32).at[bins].add(1.0)
+
+
+def entropy_calibration_multipliers(hists, bin_width: float = 1.0 / 16):
+    """KL threshold sweep over a stack of histograms [L, max_bin] -> multipliers
+    [L], fully on device (vmapped over layers AND candidate thresholds).
+
+    Math mirrors :func:`entropy_calibration` (itself parity-matched to
+    src/yolov2_forward_network_quantized.c:1292-1398) in f32.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    max_bin = hists.shape[-1]
+    j = jnp.arange(max_bin)
+    jf = j.astype(jnp.float32)
+    flt_min = jnp.float32(1.1754944e-38)
+    cands = jnp.arange(128, max_bin)                       # [C]
+
+    # --- candidate geometry (independent of the histograms: computed once,
+    # shared by every layer; scatter/searchsorted-free) -----------------------
+    # qbin(i, j) = min(lround_f32(j / (i/128)), 127) is monotone in j, so each
+    # quantized bin is a contiguous j-segment; per-j segment bounds come from a
+    # forward cummax / reverse cummin over the boundary markers.
+    qw = cands.astype(jnp.float32)[:, None] / 128.0        # [C,1]
+    qbin = jnp.minimum(jnp.floor(jf[None, :] / qw + 0.5).astype(jnp.int32),
+                       127)                                # [C,J]
+    is_start = jnp.concatenate(
+        [jnp.ones((qbin.shape[0], 1), bool), qbin[:, 1:] != qbin[:, :-1]],
+        axis=1)
+    is_end = jnp.concatenate(
+        [is_start[:, 1:], jnp.ones((qbin.shape[0], 1), bool)], axis=1)
+    in_range = j[None, :] < cands[:, None]                 # [C,J]
+    BIG = jnp.float32(3.4e38)
+
+    def _seg_sum(cs, left_excl, frozen):
+        """Per-j sum of its quantized-bin segment, cumsums frozen at the
+        candidate threshold. Because cumsums are nondecreasing, the nearest
+        segment boundary's value is a reverse-cummin (ends) / forward-cummax
+        (starts) over boundary-masked cumsums — no gathers, no scatters (TPU
+        executes generic [C,J] gathers serially; scans are log-step shifts)."""
+        hi = jnp.flip(jax.lax.cummin(
+            jnp.flip(jnp.where(is_end, cs[None, :], BIG), 1), axis=1), 1)
+        lo = jax.lax.cummax(
+            jnp.where(is_start, left_excl[None, :], -BIG), axis=1)
+        return jnp.minimum(hi, frozen) - jnp.minimum(lo, frozen)
+
+    def per_layer(H):
+        csH = jnp.cumsum(H)
+        nzf = (H != 0).astype(jnp.float32)
+        csNZ = jnp.cumsum(nzf)
+        total = csH[-1]
+        cs_at_i = csH[cands - 1][:, None]                  # [C,1]
+        csn_at_i = csNZ[cands - 1][:, None]
+        quant_Q_at_j = _seg_sum(csH, csH - H, cs_at_i)
+        quant_cnt_at_j = _seg_sum(csNZ, csNZ - nzf, csn_at_i)
+        P = jnp.where(in_range, H[None, :], 0.0)           # [C,J]
+        nz = P != 0
+        expanded = quant_Q_at_j / jnp.maximum(quant_cnt_at_j, 1.0)
+        Q = jnp.where(nz, expanded, 0.0)
+        outliers = total - cs_at_i                         # [C,1]
+        P = jnp.where(j[None, :] == cands[:, None] - 1, P + outliers, P)
+        sum_P = jnp.sum(P, axis=1, keepdims=True)
+        sum_Q = jnp.sum(Q, axis=1, keepdims=True)
+        Pn = P / sum_P
+        Qn = Q / sum_Q
+        kl = jnp.sum(jnp.where(in_range,
+                               Pn * jnp.log((Pn + flt_min) / (Qn + flt_min)),
+                               0.0), axis=1)               # [C]
+        kl = jnp.where((sum_P[:, 0] == 0) | (sum_Q[:, 0] == 0), jnp.inf, kl)
+        m_index = jnp.argmin(kl) + 128
+        threshold = (m_index.astype(jnp.float32) + 0.5) * jnp.float32(bin_width)
+        return jnp.float32(127.0) / threshold
+
+    return jax.vmap(per_layer)(hists)
