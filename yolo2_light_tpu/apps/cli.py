@@ -94,6 +94,7 @@ def _main(argv=None) -> int:
     input_calibration = _find_value(args, "-input_calibration", 0, int)
     calib_method = _find_value(args, "-calib_method", "device")
     data_parallel = _find_value(args, "-parallel", 0, int)
+    tensor_parallel = _find_value(args, "-tp", 0, int)
     profile_dir = _find_value(args, "-profile", None)
 
     if len(args) < 2:
@@ -138,6 +139,7 @@ def _main(argv=None) -> int:
                               quantized=quantized, iou_thresh=iou_thresh,
                               int8_policy=int8_policy,
                               data_parallel=data_parallel,
+                              tensor_parallel=tensor_parallel,
                               compute_dtype=compute_dtype)
         return 0
     elif sub == "calibrate":

@@ -33,22 +33,28 @@ def validate_detector_map(datacfg: str, cfgfile: str, weightfile, *,
                           iou_thresh: float = 0.5, int8_policy: str = "cpu",
                           batch: int = 8, nthreads: int = 4,
                           compute_dtype=None, k: int = 1024,
-                          data_parallel: int = 0) -> dict:
+                          data_parallel: int = 0,
+                          tensor_parallel: int = 0) -> dict:
     import jax.numpy as jnp
 
     options = read_data_cfg(datacfg)
     valid_images = options.get("valid", "data/train.txt")
     difficult_images = options.get("difficult")
     names = load_names(options.get("names", "data/names.list"))
+    # .data map= is read (and ignored) exactly like the reference
+    # (src/additionally.c:4549-4550 reads it, then passes map=0 at :4664)
+    options.get("map")
 
     spec, params, mode = build_params(cfgfile, weightfile, quantized=quantized)
     cd = compute_dtype if compute_dtype is not None else jnp.float32
     mesh = None
-    if data_parallel > 1:
+    dp = max(1, data_parallel)
+    tp = max(1, tensor_parallel)
+    if dp * tp > 1:
         from ..parallel.mesh import make_mesh
-        mesh = make_mesh(data_parallel, data=data_parallel, model=1)
-        batch = max(batch, data_parallel)
-        batch -= batch % data_parallel  # keep shards even
+        mesh = make_mesh(dp * tp, data=dp, model=tp)
+        batch = max(batch, dp)
+        batch -= batch % dp  # keep shards even
     pipe = DetectionPipeline(spec, params, mode,
                              thresh=0.005, nms=0.45, k=k,
                              int8_policy=int8_policy, compute_dtype=cd,

@@ -89,10 +89,16 @@ class DetectionPipeline:
             return packed.astype(packed_dtype)
 
         if mesh is not None:
-            # data-parallel sharding over the batch axis: each chip runs the full
-            # net on its shard of images; no collectives needed (SURVEY §2.8 —
-            # the idiomatic TPU analog of the reference's 4-thread loader)
+            # data-parallel sharding over the batch axis: each chip runs the net
+            # on its shard of images (no collectives; SURVEY §2.8 — the idiomatic
+            # TPU analog of the reference's 4-thread loader). A "model" axis > 1
+            # additionally shards conv output channels tensor-parallel: GSPMD
+            # propagates the channel sharding and inserts all-gathers only where
+            # routes/heads demand (parallel/mesh.py).
             from jax.sharding import NamedSharding, PartitionSpec as P
+            if mesh.shape.get("model", 1) > 1:
+                from .parallel.mesh import shard_params
+                self.params = shard_params(spec, self.params, mesh)
             x_sharding = NamedSharding(mesh, P("data", None, None, None))
             out_sharding = NamedSharding(mesh, P("data", None, None))
             self._jitted = jax.jit(run, in_shardings=(None, x_sharding),
