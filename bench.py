@@ -1,7 +1,8 @@
 """Benchmark: yolov3-416 inference throughput on one TPU chip.
 
-Prints ONE JSON line:
-  {"metric": "yolov3-416_fp32_img_s", "value": N, "unit": "img/s", "vs_baseline": R}
+Prints ONE JSON line (value = median of 5 runs; spread_min/max document relay noise):
+  {"metric": "yolov3-416_fp32_img_s", "value": N, "unit": "img/s", "vs_baseline": R,
+   "spread_min": N, "spread_max": N}
 
 Baseline: the reference publishes no GPU fps; its fastest in-code CPU number is the
 AVX2 INT8 conv pipeline at ~0.8 FPS / image (src/yolov2_forward_network_quantized.c:212,
@@ -35,6 +36,14 @@ def bench_once(fn, args, iters=10):
         out = fn(*args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
+
+
+def median_spread(run, n=5):
+    """Median-of-n with (min, max): the relay's throughput is noisy run-to-run,
+    and best-of-N enshrines single-run highs (round-1 lesson). ``run()`` returns
+    a duration; result is (median, min, max)."""
+    ts = sorted(run() for _ in range(n))
+    return ts[n // 2], ts[0], ts[-1]
 
 
 def sparse_head_biases(spec, params):
@@ -75,7 +84,7 @@ def main():
         spec, fuse_conv_batchnorm(spec, random_params(spec, seed=0)))
     log(f"device: {jax.devices()[0]}")
 
-    best = (0.0, None)
+    best = (0.0, None, 0.0, 0.0)
     for batch in (32, 64):
         pipe = DetectionPipeline(spec, params, thresh=0.24, nms=0.4, k=64,
                                  compute_dtype=jnp.bfloat16,
@@ -86,48 +95,52 @@ def main():
 
         def run():
             # streamed frame->boxes: H2D/compute/D2H/host-NMS overlapped
-            total = 0
+            t0 = time.perf_counter()
             for dets in pipe.stream([x] * n_batches, depth=2, workers=1):
-                total += len(dets)
-            return total
+                pass
+            return (time.perf_counter() - t0) / n_batches
 
         try:
             pipe(x)  # warmup/compile
             run()
-            dt = float("inf")
-            for _ in range(3):   # relay throughput varies run to run; take best
-                t0 = time.perf_counter()
-                run()
-                dt = min(dt, (time.perf_counter() - t0) / n_batches)
+            dt, dt_min, dt_max = median_spread(run, 5)
         except Exception as e:  # OOM at large batch etc.
             log(f"batch={batch} failed: {e}")
             continue
         img_s = batch / dt
         log(f"fp32(bf16 MXU) streamed frame->boxes batch={batch}: "
-            f"{dt * 1e3:.2f} ms/batch -> {img_s:.1f} img/s")
+            f"{dt * 1e3:.2f} ms/batch -> {img_s:.1f} img/s "
+            f"(min {batch / dt_max:.1f}, max {batch / dt_min:.1f})")
         if img_s > best[0]:
-            best = (img_s, batch)
+            best = (img_s, batch, batch / dt_max, batch / dt_min)
 
     # secondary: INT8 streamed e2e (reference CPU semantics, chained activations)
     try:
         from yolo2_light_tpu.quant import quantize_params
         qparams = quantize_params(spec, params)
         batch = 32
+        # float-side convs (layer 0 + linear heads) ride the bf16 MXU; the int8
+        # convs themselves are exact int32-accumulation semantics either way
         pipe = DetectionPipeline(spec, qparams, "int8", thresh=0.24, nms=0.2,
                                  k=64, int8_policy="cpu",
+                                 compute_dtype=jnp.bfloat16,
                                  packed_dtype=jnp.float16)
         x = (np.random.rand(batch, spec.net.h, spec.net.w, spec.net.c)
              * 255).astype(np.uint8)
         n_batches = 8
         pipe(x)
-        dt = float("inf")
-        for _ in range(3):
+
+        def run_i8():
             t0 = time.perf_counter()
             for dets in pipe.stream([x] * n_batches, depth=2, workers=1):
                 pass
-            dt = min(dt, (time.perf_counter() - t0) / n_batches)
+            return (time.perf_counter() - t0) / n_batches
+
+        run_i8()
+        dt, dt_min, dt_max = median_spread(run_i8, 5)
         log(f"int8(cpu semantics) streamed batch={batch}: {dt * 1e3:.2f} "
-            f"ms/batch -> {batch / dt:.1f} img/s")
+            f"ms/batch -> {batch / dt:.1f} img/s "
+            f"(min {batch / dt_max:.1f}, max {batch / dt_min:.1f})")
     except Exception as e:
         log(f"int8 probe failed: {e}")
 
@@ -141,14 +154,18 @@ def main():
                * 255).astype(np.uint8)
         n_batches = 8
         pipe(yuv)
-        dt = float("inf")
-        for _ in range(3):
+
+        def run_yuv():
             t0 = time.perf_counter()
             for dets in pipe.stream([yuv] * n_batches, depth=2, workers=1):
                 pass
-            dt = min(dt, (time.perf_counter() - t0) / n_batches)
+            return (time.perf_counter() - t0) / n_batches
+
+        run_yuv()
+        dt, dt_min, dt_max = median_spread(run_yuv, 5)
         log(f"yuv420-ingest streamed batch={batch}: {dt * 1e3:.2f} ms/batch "
-            f"-> {batch / dt:.1f} img/s")
+            f"-> {batch / dt:.1f} img/s "
+            f"(min {batch / dt_max:.1f}, max {batch / dt_min:.1f})")
     except Exception as e:
         log(f"yuv420 probe failed: {e}")
 
@@ -172,20 +189,27 @@ def main():
         x = jnp.asarray(np.random.rand(batch, spec.net.h, spec.net.w,
                                        spec.net.c).astype(np.float32))
         float(f(x))
-        t0 = time.perf_counter()
-        float(f(x))
-        dt = (time.perf_counter() - t0) / REP
+
+        def run_dev():
+            t0 = time.perf_counter()
+            float(f(x))
+            return (time.perf_counter() - t0) / REP
+
+        dt, dt_min, dt_max = median_spread(run_dev, 5)
         log(f"device-resident fp32(bf16) forward: {dt * 1e3 / batch:.3f} ms/img "
-            f"-> {batch / dt:.0f} img/s")
+            f"-> {batch / dt:.0f} img/s "
+            f"(min {batch / dt_max:.0f}, max {batch / dt_min:.0f})")
     except Exception as e:
         log(f"device-resident probe failed: {e}")
 
     value = round(best[0], 2)
     print(json.dumps({
         "metric": "yolov3-416_fp32_img_s",
-        "value": value,
+        "value": value,                      # median of 5 runs
         "unit": "img/s",
         "vs_baseline": round(value / BASELINE_IMG_S, 1),
+        "spread_min": round(best[2], 2),
+        "spread_max": round(best[3], 2),
     }), flush=True)
 
 
