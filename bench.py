@@ -177,7 +177,7 @@ def main():
         fwd = build_forward(spec, "fp32", compute_dtype=jnp.bfloat16)
         p = params_to_device(params)
         REP = 10
-        batch = 32
+        batch = 64
 
         def dev_loop(x):
             def body(i, acc):
@@ -201,6 +201,39 @@ def main():
             f"(min {batch / dt_max:.0f}, max {batch / dt_min:.0f})")
     except Exception as e:
         log(f"device-resident probe failed: {e}")
+
+    # secondary: INT8 device-resident (bit-exact reference cpu semantics; float-
+    # side convs on the bf16 MXU) — the fastest yolov3 mode on-chip since the
+    # shift-based requant (PERF_NOTES.md)
+    try:
+        from yolo2_light_tpu.quant import quantize_params as _qp
+        fwd8 = build_forward(spec, "int8", int8_policy="cpu", int8_chain=True,
+                             compute_dtype=jnp.bfloat16)
+        p8 = params_to_device(_qp(spec, params))
+        batch = 64
+
+        def dev_loop8(x):
+            def body(i, acc):
+                heads, _ = fwd8(p8, x + acc * 1e-12)
+                return acc + jnp.sum(heads[0].data[..., 4])
+            return jax.lax.fori_loop(0, REP, body, 0.0)
+
+        f8 = jax.jit(dev_loop8)
+        x = jnp.asarray(np.random.rand(batch, spec.net.h, spec.net.w,
+                                       spec.net.c).astype(np.float32))
+        float(f8(x))
+
+        def run_dev8():
+            t0 = time.perf_counter()
+            float(f8(x))
+            return (time.perf_counter() - t0) / REP
+
+        dt, dt_min, dt_max = median_spread(run_dev8, 5)
+        log(f"device-resident int8(cpu semantics) forward: "
+            f"{dt * 1e3 / batch:.3f} ms/img -> {batch / dt:.0f} img/s "
+            f"(min {batch / dt_max:.0f}, max {batch / dt_min:.0f})")
+    except Exception as e:
+        log(f"device-resident int8 probe failed: {e}")
 
     value = round(best[0], 2)
     print(json.dumps({

@@ -103,3 +103,143 @@ def test_xnor_flags():
     xnors = [l for l in convs if l.xnor]
     assert len(xnors) > 0
     assert not convs[0].xnor  # first conv is dense in the shipped cfg
+
+
+MINIMAL_CFG = """[net]
+batch=1
+width=64
+height=64
+channels=3
+
+[convolutional]
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+size=1
+stride=1
+pad=1
+filters=30
+activation=linear
+
+[region]
+anchors = 1.0,1.0
+classes=1
+num=5
+unknown_key=7
+"""
+
+
+def test_using_default_and_unused_stderr_parity(oracle, tmp_path, capfd):
+    """A cfg missing non-quiet keys must print the same 'Using default' and
+    'Unused field' stderr lines as the reference parser (option_find_int/float/str,
+    src/additionally.c:3358-3398; option_unused, :3330)."""
+    import subprocess
+
+    import re
+
+    cfg = str(tmp_path / "minimal.cfg")
+    with open(cfg, "w") as f:
+        f.write(MINIMAL_CFG)
+    names = str(tmp_path / "t.names")
+    with open(names, "w") as f:
+        f.write("aaa\n")
+    # oracle: parse happens inside detector test; missing weights is fine — the
+    # parse stderr precedes the weights open failure (names must exist: the
+    # reference loads them before parsing and crashes otherwise)
+    res = subprocess.run(
+        [oracle, "detector", "test", names, cfg,
+         "nonexistent.weights", "x.png", "-dont_show"],
+        capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(oracle))
+
+    def pick(text):
+        # layer-table prefixes share lines with some prints; extract the facts
+        out = []
+        for l in text.splitlines():
+            m = re.search(r"(\S+): Using default '([^']*)'", l)
+            if m:
+                out.append((m.group(1), m.group(2)))
+            elif "Unused field" in l:
+                out.append(l.strip())
+        return out
+
+    parse_network_cfg(cfg, batch=1)
+    ours = pick(capfd.readouterr().err)
+    ref = pick(res.stderr)
+    assert ref, "oracle printed no parity lines — fixture broken"
+    assert ours == ref, (ours, ref)
+
+
+def test_shipped_cfgs_parse_silently(capfd):
+    """Every shipped cfg must parse with zero stderr (no 'Unused field' spam,
+    no spurious 'Using default' — VERDICT round-1 item 5)."""
+    import glob
+    for cfg in sorted(glob.glob(os.path.join(BIN, "*.cfg"))):
+        parse_network_cfg(cfg)
+    assert capfd.readouterr().err == ""
+
+
+def test_region_aux_and_map_fields(tmp_path):
+    """Region aux keys land in the spec; map= loads the class-index list."""
+    mp = tmp_path / "m.map"
+    mp.write_text("2\n0\n1\n")
+    cfg = tmp_path / "r.cfg"
+    cfg.write_text("""[net]
+batch=1
+width=32
+height=32
+channels=3
+
+[convolutional]
+filters=40
+size=1
+stride=1
+activation=linear
+
+[region]
+anchors=1.0,1.0,2.0,2.0,3.0,3.0,4.0,4.0,5.0,5.0
+classes=3
+num=5
+coords=4
+log=1
+sqrt=1
+absolute=1
+random=1
+coord_scale=2.5
+object_scale=3.5
+noobject_scale=0.25
+class_scale=1.5
+map={}
+""".format(mp))
+    spec = parse_network_cfg(str(cfg), batch=1)
+    r = spec.layers[-1]
+    assert isinstance(r, RegionSpec)
+    assert (r.log, r.sqrt, r.absolute, r.random) == (1, 1, 1, 1)
+    assert (r.coord_scale, r.object_scale, r.noobject_scale,
+            r.class_scale) == (2.5, 3.5, 0.25, 1.5)
+    assert r.class_map == (2, 0, 1)
+
+
+def test_unknown_activation_warns(tmp_path, capfd):
+    cfg = tmp_path / "a.cfg"
+    cfg.write_text("""[net]
+batch=1
+width=32
+height=32
+channels=3
+
+[convolutional]
+filters=4
+size=3
+stride=1
+pad=1
+activation=selu
+""")
+    spec = parse_network_cfg(str(cfg), batch=1)
+    assert spec.layers[0].activation == "relu"
+    assert ("Couldn't find activation function selu, going with ReLU"
+            in capfd.readouterr().err)

@@ -75,6 +75,19 @@ def activate(x: jax.Array, name: str) -> jax.Array:
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 
 
+def _trunc_div_pow2(acc, d: int):
+    """C-style truncate-toward-zero division of int32 by a power of two, as
+    adds+shifts: ``(acc + (acc<0 ? d-1 : 0)) >> log2(d)``.
+
+    Bit-identical to ``where(acc>=0, acc//d, -((-acc)//d))`` but ~1.4x faster
+    end-to-end on TPU: the three-consumer where/negate/div graph defeats XLA's
+    epilogue fusion, the two-op shift form fuses into the conv output
+    (measured: yolov3-416 int8 0.677 -> 0.492 ms/img, PERF_NOTES.md)."""
+    assert d > 0 and (d & (d - 1)) == 0, d
+    shift = d.bit_length() - 1
+    return (acc + ((acc >> 31) & (d - 1))) >> shift
+
+
 def conv2d_fp32(x, weights, biases, stride: int, pad: int, activation: str,
                 bn=None, compute_dtype=jnp.float32):
     """Dense conv + optional (unfused) BN + bias + activation.
@@ -136,8 +149,8 @@ def conv2d_int8(x, weights_int8, biases, stride: int, pad: int, activation: str,
     if semantics == "gpu":
         y = acc.astype(jnp.float32) * (1.0 / (input_mult * weights_mult)) + biases
         return activate(y, activation)
-    # C integer division truncates toward zero; r_mult > 0
-    q = jnp.where(acc >= 0, acc // r_mult, -((-acc) // r_mult))
+    # C integer division truncates toward zero; R_MULT is a power of two
+    q = _trunc_div_pow2(acc, r_mult)
     q = jnp.clip(q, -(256 * 128 - 1), 256 * 128 - 1)
     alpha1 = r_mult / (input_mult * weights_mult)
     y = q.astype(jnp.float32) * alpha1 + biases
@@ -199,7 +212,7 @@ def conv2d_int8_old(x_int8, weights_int8, biases_quant, output_multipler,
     acc = lax.conv_general_dilated(
         x_int8, weights_int8, (stride, stride), [(pad, pad), (pad, pad)],
         dimension_numbers=_DIMNUMS, preferred_element_type=jnp.int32)
-    q = jnp.where(acc >= 0, acc // r_mult, -((-acc) // r_mult))
+    q = _trunc_div_pow2(acc, r_mult)
     q = jnp.clip(q, -(256 * 128 - 1), 256 * 128 - 1).astype(jnp.float32)
     q = jnp.trunc(q * output_multipler)
     q = jnp.trunc(q + biases_quant)

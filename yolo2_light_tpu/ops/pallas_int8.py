@@ -43,8 +43,10 @@ def _kernel(x_ref, w_ref, bias_ref, scale_ref, out_ref, *, h: int, w: int,
         patch = x_ref[0, dy:dy + h, dx:dx + w, :].reshape(h * w, c)
         acc = acc + jnp.dot(patch, w_ref[t * c:(t + 1) * c, :],
                             preferred_element_type=jnp.int32)
-    # requant: trunc-div r_mult, clamp int16 (reference int8-cpu semantics)
-    q = jnp.where(acc >= 0, acc // r_mult, -((-acc) // r_mult))
+    # requant: trunc-div r_mult (power of two -> sign-fix + shift), clamp int16
+    # (reference int8-cpu semantics)
+    shift = r_mult.bit_length() - 1
+    q = (acc + ((acc >> 31) & (r_mult - 1))) >> shift
     q = jnp.clip(q, -(256 * 128 - 1), 256 * 128 - 1)
     y = q.astype(jnp.float32) * scale_ref[0, 0] + bias_ref[0, :]
     if leaky:
