@@ -72,6 +72,32 @@ def test_demo_frame_skip(tmp_path):
     assert frames == 4
 
 
+def test_params_cache_roundtrip(tmp_path):
+    """-params_cache: second build loads the transformed pytree from .npz and
+    matches the fresh transform exactly (incl. quantized/binarized fields)."""
+    import numpy as np
+
+    from yolo2_light_tpu.apps.detect import build_params
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    weights = _gen_weights(cfg, 7, str(tmp_path))
+    cache = str(tmp_path / "pcache")
+
+    spec1, fresh, mode1 = build_params(cfg, weights, quantized=True)
+    spec2, miss, mode2 = build_params(cfg, weights, quantized=True,
+                                      params_cache=cache)
+    assert os.listdir(cache)
+    spec3, hit, mode3 = build_params(cfg, weights, quantized=True,
+                                     params_cache=cache)
+    assert mode1 == mode2 == mode3 == "int8"
+    for a, b in zip(fresh, hit):
+        if a is None:
+            assert b is None
+            continue
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), k)
+
+
 def test_cli_usage_errors():
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
     r = subprocess.run([sys.executable, "-m", "yolo2_light_tpu"],

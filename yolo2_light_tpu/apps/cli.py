@@ -9,8 +9,11 @@ Usage mirrors the reference binary:
     yolo2-light-tpu detector demo  <names> <cfg> [weights] [video] [flags]
 
 Flags: -thresh F (default .25 like the reference; the shipped scripts pass .24),
--iou_thresh F, -quantized, -dont_show, -letterbox, -out_filename S, -save PATH,
--c CAM_INDEX, -s FRAME_SKIP (demo), -int8_policy cpu|gpu, -batch N.
+-iou_thresh F, -quantized, -bf16, -dont_show, -letterbox, -out_filename S,
+-save PATH, -c CAM_INDEX, -s FRAME_SKIP (demo), -int8_policy cpu|gpu|cpu_old,
+-xnor_kernel int8|pallas, -batch N (map/demo device batch), -parallel N -tp M
+(map sharding), -params_cache DIR (converted-weights cache),
+-input_calibration N / -calib_method device|host (calibrate), -profile DIR, -i N.
 """
 
 from __future__ import annotations
@@ -93,6 +96,8 @@ def _main(argv=None) -> int:
             return 1
     input_calibration = _find_value(args, "-input_calibration", 0, int)
     calib_method = _find_value(args, "-calib_method", "device")
+    params_cache = _find_value(args, "-params_cache", None)
+    batch = _find_value(args, "-batch", 0, int)
     data_parallel = _find_value(args, "-parallel", 0, int)
     tensor_parallel = _find_value(args, "-tp", 0, int)
     profile_dir = _find_value(args, "-profile", None)
@@ -126,21 +131,25 @@ def _main(argv=None) -> int:
                     quantized=quantized, dont_show=dont_show,
                     int8_policy=int8_policy, save_path=save_path,
                     letter=letterbox, xnor_impl=xnor_kernel,
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype, params_cache=params_cache)
         else:
             run(names, cfg, weights, filename, thresh=thresh, quantized=quantized,
                 dont_show=dont_show, int8_policy=int8_policy, save_path=save_path,
                 letter=letterbox, xnor_impl=xnor_kernel,
-                compute_dtype=compute_dtype)
+                compute_dtype=compute_dtype, params_cache=params_cache)
         return 0
     elif sub == "map":
         from .map import validate_detector_map
+        kw = {}
+        if batch > 0:
+            kw["batch"] = batch
         validate_detector_map(obj_names, cfg, weights, thresh=thresh,
                               quantized=quantized, iou_thresh=iou_thresh,
                               int8_policy=int8_policy,
                               data_parallel=data_parallel,
                               tensor_parallel=tensor_parallel,
-                              compute_dtype=compute_dtype)
+                              compute_dtype=compute_dtype,
+                              params_cache=params_cache, **kw)
         return 0
     elif sub == "calibrate":
         if bf16:
@@ -158,7 +167,8 @@ def _main(argv=None) -> int:
         demo(cfg, weights, thresh, filename, names, quantized=quantized,
              out_filename=out_filename, dont_show=dont_show,
              int8_policy=int8_policy, compute_dtype=compute_dtype,
-             prefix=prefix, cam_index=cam_index, frame_skip=frame_skip)
+             prefix=prefix, cam_index=cam_index, frame_skip=frame_skip,
+             batch=batch, params_cache=params_cache)
         return 0
     print(f"Not an option: {sub}", file=sys.stderr)
     return 1

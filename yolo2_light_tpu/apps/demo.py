@@ -54,7 +54,7 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
          quantized: bool = False, out_filename=None, dont_show: bool = True,
          cam_index: int = 0, int8_policy: str = "cpu", max_frames=None,
          compute_dtype=None, prefix=None, frame_skip: int = 0,
-         batch: int = 0) -> int:
+         batch: int = 0, params_cache=None) -> int:
     """Returns number of frames processed. Dense convs default to bf16 on the MXU
     (real-time video favors speed); pass compute_dtype=jnp.float32 for full fp32.
     ``batch``: frames per device step (default: 4 for file sources — throughput;
@@ -62,7 +62,8 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
     import cv2
     import jax.numpy as jnp
 
-    spec, params, mode = build_params(cfgfile, weightfile, quantized=quantized)
+    spec, params, mode = build_params(cfgfile, weightfile, quantized=quantized,
+                                      params_cache=params_cache)
     nms = 0.2 if quantized else 0.4
     cd = compute_dtype if compute_dtype is not None else jnp.bfloat16
     pipe = DetectionPipeline(spec, params, mode, thresh=thresh, nms=nms,

@@ -20,29 +20,53 @@ from ..xnor import binarize_params
 
 
 def build_params(cfgfile: str, weightfile, quantized: bool = False,
-                 batch: int = 1, seed: int = 0):
+                 batch: int = 1, seed: int = 0, params_cache=None):
     """Shared init chain (reference: src/main.c:160-171 and :4552-4561):
-    parse -> load/init -> BN-fuse -> XNOR-binarize -> (INT8-quantize)."""
+    parse -> load/init -> BN-fuse -> XNOR-binarize -> (INT8-quantize).
+
+    ``params_cache``: optional directory; the fully transformed pytree is cached
+    as .npz keyed by (weights path, mtime, size, quantized) so repeated CLI runs
+    skip load+fuse+binarize+quantize (SURVEY §5 checkpoint/resume analog —
+    the reference re-reads/transforms .weights every run)."""
     spec = parse_network_cfg(cfgfile, batch=batch, quantized=quantized)
+    mode = "int8" if quantized else "fp32"
+
+    cpath = None
+    if params_cache and weightfile:
+        import hashlib
+        import os
+        from ..weights import load_params_cache
+        st = os.stat(weightfile)
+        key = hashlib.sha1(
+            f"{os.path.abspath(weightfile)}:{st.st_mtime_ns}:{st.st_size}:"
+            f"{quantized}".encode()).hexdigest()[:16]
+        os.makedirs(params_cache, exist_ok=True)
+        cpath = os.path.join(params_cache, f"params_{key}.npz")
+        if os.path.exists(cpath):
+            return spec, load_params_cache(cpath, spec.n), mode
+
     if weightfile:
         params = load_weights(spec, weightfile)
     else:
         params = random_params(spec, seed=seed)
     params = fuse_conv_batchnorm(spec, params)
     params = binarize_params(spec, params)
-    mode = "fp32"
     if quantized:
         params = quantize_params(spec, params)
-        mode = "int8"
+    if cpath:
+        from ..weights import save_params_cache
+        save_params_cache(params, cpath)
     return spec, params, mode
 
 
 def build_predictor(cfgfile: str, weightfile, quantized: bool = False,
                     int8_policy: str = "cpu", batch: int = 1,
-                    compute_dtype=None, seed: int = 0, xnor_impl: str = "int8"):
+                    compute_dtype=None, seed: int = 0, xnor_impl: str = "int8",
+                    params_cache=None):
     import jax.numpy as jnp
     spec, params, mode = build_params(cfgfile, weightfile, quantized,
-                                      batch=batch, seed=seed)
+                                      batch=batch, seed=seed,
+                                      params_cache=params_cache)
     cd = compute_dtype if compute_dtype is not None else jnp.float32
     pred = Predictor(spec, params, mode, int8_policy=int8_policy,
                      compute_dtype=cd, xnor_impl=xnor_impl)
@@ -78,12 +102,13 @@ def run(names, cfgfile: str, weightfile, filename, thresh: float = 0.24,
         quantized: bool = False, dont_show: bool = True,
         int8_policy: str = "cpu", save_path: str = "predictions",
         letter: bool = False, xnor_impl: str = "int8",
-        compute_dtype=None) -> str:
+        compute_dtype=None, params_cache=None) -> str:
     """Single-image detect; with no filename, loops reading image paths from stdin
     (reference: test_detector_cpu while(1) fgets loop, src/main.c:176-186)."""
     spec, pred = build_predictor(cfgfile, weightfile, quantized,
                                  int8_policy=int8_policy, xnor_impl=xnor_impl,
-                                 compute_dtype=compute_dtype)
+                                 compute_dtype=compute_dtype,
+                                 params_cache=params_cache)
     nms = 0.2 if quantized else 0.4  # reference: src/main.c:174,213
     classes = pred.head_specs()[-1].classes
     text = ""

@@ -34,7 +34,8 @@ def validate_detector_map(datacfg: str, cfgfile: str, weightfile, *,
                           batch: int = 8, nthreads: int = 4,
                           compute_dtype=None, k: int = 1024,
                           data_parallel: int = 0,
-                          tensor_parallel: int = 0) -> dict:
+                          tensor_parallel: int = 0,
+                          params_cache=None) -> dict:
     import jax.numpy as jnp
 
     options = read_data_cfg(datacfg)
@@ -45,7 +46,8 @@ def validate_detector_map(datacfg: str, cfgfile: str, weightfile, *,
     # (src/additionally.c:4549-4550 reads it, then passes map=0 at :4664)
     options.get("map")
 
-    spec, params, mode = build_params(cfgfile, weightfile, quantized=quantized)
+    spec, params, mode = build_params(cfgfile, weightfile, quantized=quantized,
+                                      params_cache=params_cache)
     cd = compute_dtype if compute_dtype is not None else jnp.float32
     mesh = None
     dp = max(1, data_parallel)
