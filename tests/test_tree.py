@@ -120,6 +120,29 @@ def test_tree_region_oracle_parity(oracle, tree_file, tmp_path):
     assert_detections_match(otext, utext, context="yolo9000 tree")
 
 
+def test_softmax_layer_tree_groups(tree_file):
+    """[softmax] with tree= applies per-group softmax (the reference parses
+    tree= into the layer, src/additionally.c:3695-3696, but never dispatches the
+    forward; ours executes the softmax_tree grouping)."""
+    import jax.numpy as jnp
+
+    from yolo2_light_tpu.models.layers import softmax_layer
+    from yolo2_light_tpu.tree import softmax_groups
+
+    t = read_tree(tree_file)
+    gs = [g for _, g in softmax_groups(t)]
+    x = np.random.RandomState(0).randn(2, t.n).astype(np.float32)
+    y = np.asarray(softmax_layer(jnp.asarray(x), 1, 1.0, tree_groups=gs))
+    start = 0
+    for g in gs:
+        seg = y[:, start:start + g]
+        np.testing.assert_allclose(seg.sum(-1), 1.0, rtol=1e-5)
+        e = np.exp(x[:, start:start + g]
+                   - x[:, start:start + g].max(-1, keepdims=True))
+        np.testing.assert_allclose(seg, e / e.sum(-1, keepdims=True), rtol=1e-5)
+        start += g
+
+
 MAP_CFG_TEMPLATE = """# mini YOLO9000-with-map region net (test fixture)
 # the reference map decode loops a hard-coded 200 entries
 # (src/yolov2_forward_network.c:694-698) so classes must be >= 200

@@ -382,10 +382,20 @@ def region_head(x, n: int, classes: int, coords: int, do_softmax: bool,
     return jnp.concatenate([y[..., :coords], t0, cls], axis=-1)
 
 
-def softmax_layer(x, groups: int, temperature: float):
-    """[softmax] layer (reference: forward_softmax_layer in additionally.c constructors;
-    softmax_cpu, src/yolov2_forward_network.c:476-491)."""
+def softmax_layer(x, groups: int, temperature: float, tree_groups=None):
+    """[softmax] layer. The reference never dispatches its forward (the
+    constructor comments it out, src/additionally.c:2313) — ours executes it:
+    softmax_cpu semantics (src/yolov2_forward_network.c:476-491), or the grouped
+    softmax_tree variant (:494-505) when the cfg supplies ``tree=``."""
     b = x.shape[0]
+    if tree_groups:
+        flat = x.reshape(b, -1)
+        parts, start = [], 0
+        for gs in tree_groups:
+            parts.append(jax.nn.softmax(flat[:, start:start + gs] / temperature,
+                                        axis=-1))
+            start += gs
+        return jnp.concatenate(parts, axis=-1)
     y = x.reshape(b, groups, -1)
     y = jax.nn.softmax(y / temperature, axis=-1)
     return y.reshape(b, -1)

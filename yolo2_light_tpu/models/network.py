@@ -240,8 +240,13 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
                 heads.append(HeadOutput(i, "region", y5))
             elif isinstance(l, SoftmaxSpec):
                 cur_i8 = None
+                sm_groups = None
+                if l.softmax_tree is not None:
+                    from ..tree import softmax_groups
+                    sm_groups = [gs for _, gs in softmax_groups(l.softmax_tree)]
                 cur = L.softmax_layer(cur.reshape(cur.shape[0], -1),
-                                      l.groups, l.temperature)
+                                      l.groups, l.temperature,
+                                      tree_groups=sm_groups)
             else:
                 raise NotImplementedError(f"layer {type(l).__name__}")
             outputs[i] = cur
