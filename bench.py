@@ -156,8 +156,11 @@ def main():
         pipe(yuv)
 
         def run_yuv():
+            # depth 3: the yuv payload is half of RGB's, so a deeper in-flight
+            # queue overlaps relay transfers without congesting it (RGB at
+            # depth>=3 measured slower — congestion; yuv 165->176 img/s)
             t0 = time.perf_counter()
-            for dets in pipe.stream([yuv] * n_batches, depth=2, workers=1):
+            for dets in pipe.stream([yuv] * n_batches, depth=3, workers=1):
                 pass
             return (time.perf_counter() - t0) / n_batches
 
