@@ -111,12 +111,19 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
             if not sizeds:
                 return
             rgb_batches.append(rgbs)
+            while len(sizeds) < batch:
+                # pad the tail batch to the compiled batch size (one jit program
+                # for the whole stream); extras are dropped by the rgb zip
+                sizeds.append(sizeds[-1])
             yield np.stack(sizeds)
 
     def sizes():
-        # im_sizes must be generated lazily batch-by-batch alongside batches()
+        # im_sizes must be generated lazily batch-by-batch alongside batches();
+        # padded to the compiled batch size like the frames themselves
         while True:
-            yield [(r.shape[1], r.shape[0]) for r in rgb_batches[-1]]
+            s = [(r.shape[1], r.shape[0]) for r in rgb_batches[-1]]
+            s += [s[-1]] * (batch - len(s))
+            yield s
 
     count = 0
     fps = 0.0
