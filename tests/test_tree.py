@@ -270,6 +270,48 @@ def test_region_map_decode_oracle_parity(oracle, tmp_path):
     assert (ref_probs > 0).sum() > 0
 
 
+def test_region_map_device_decode_matches_host(tmp_path):
+    """DetectionPipeline (device decode) must apply the class_map exactly like
+    the host path."""
+    from yolo2_light_tpu.cfg import parse_network_cfg
+    from yolo2_light_tpu.models.network import Predictor
+    from yolo2_light_tpu.pipeline import DetectionPipeline
+    from yolo2_light_tpu.post import boxes as post
+    from yolo2_light_tpu.weights import fuse_conv_batchnorm, random_params
+
+    lines = [f"root{r} -1" for r in range(10)]
+    for r in range(10):
+        lines += [f"leaf{r}_{c} {r}" for c in range(20)]
+    tree_path = str(tmp_path / "big.tree")
+    with open(tree_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    rng = np.random.RandomState(5)
+    map_ids = rng.permutation(np.arange(10, 210)).tolist()
+    map_path = str(tmp_path / "t.map")
+    with open(map_path, "w") as f:
+        f.write("\n".join(str(i) for i in map_ids) + "\n")
+    cfg = str(tmp_path / "mini-map.cfg")
+    with open(cfg, "w") as f:
+        f.write(MAP_CFG_TEMPLATE.format(tree_path=tree_path, map_path=map_path))
+
+    spec = parse_network_cfg(cfg, batch=1)
+    params = fuse_conv_batchnorm(spec, random_params(spec, seed=13))
+    x = np.random.RandomState(7).rand(1, 64, 64, 3).astype(np.float32)
+
+    pred = Predictor(spec, params)
+    heads = pred(x)
+    host = post.get_network_boxes([np.asarray(h.data[0]) for h in heads],
+                                  pred.head_specs(), 64, 64, 64, 64, 0.002)
+    post.do_nms_sort(host, 210, 0.4)
+    pipe = DetectionPipeline(spec, params, thresh=0.002, nms=0.4, k=4096)
+    dev = pipe(x)[0]
+    hp = host.prob[host.prob.max(-1) > 0]
+    dp = dev.prob[dev.prob.max(-1) > 0]
+    assert hp.shape[0] == dp.shape[0] > 0
+    np.testing.assert_allclose(np.sort(hp.max(-1)), np.sort(dp.max(-1)),
+                               rtol=1e-5)
+
+
 def test_tree_device_decode_matches_host(tree_file, tmp_path):
     """DetectionPipeline (device decode) must apply the hierarchy exactly like the
     host path for YOLO9000 models."""

@@ -21,8 +21,6 @@ Reference semantics (AlexeyAB/yolo2_light, cited per function):
 
 from __future__ import annotations
 
-import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

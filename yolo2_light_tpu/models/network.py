@@ -18,12 +18,10 @@ Precision modes:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..cfg import (ConvSpec, MaxpoolSpec, ModelSpec, RegionSpec, ReorgSpec,
                    RouteSpec, ShortcutSpec, SoftmaxSpec, UpsampleSpec, YoloSpec)

@@ -19,7 +19,7 @@ A fused on-device decode lives in post/device_decode.py; this module is the orac
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -19,7 +19,6 @@ from __future__ import annotations
 import contextlib
 import time
 
-import numpy as np
 
 from ..cfg import ConvSpec, ModelSpec
 
