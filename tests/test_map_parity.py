@@ -163,3 +163,22 @@ def test_map_parity_with_difficult(oracle, dataset, tmp_path):
     assert abs(om["tp"] - ours["tp"]) <= 1
     assert abs(om["fp"] - ours["fp"]) <= 3
     assert abs(om["mAP"] - ours["mAP"]) < 0.02
+
+
+def test_map_device_nms_matches_host_nms(dataset, tmp_path):
+    """-device_nms: on-chip greedy NMS must give identical mAP metrics to the
+    host NMS path (same suppression set by construction)."""
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec = parse_network_cfg(cfg, batch=1)
+    weights = str(tmp_path / "w.weights")
+    save_weights(spec, random_params(spec, seed=11), weights)
+    from yolo2_light_tpu.apps.map import validate_detector_map
+    host = validate_detector_map(dataset["data"], cfg, weights, thresh=0.24,
+                                 batch=3, k=4096)
+    dev = validate_detector_map(dataset["data"], cfg, weights, thresh=0.24,
+                                batch=3, k=4096, device_nms=True)
+    assert host["unique_truth_count"] == dev["unique_truth_count"]
+    assert host["detections_count"] == dev["detections_count"]
+    assert host["tp"] == dev["tp"]
+    assert host["fp"] == dev["fp"]
+    assert abs(host["mAP"] - dev["mAP"]) < 1e-9

@@ -11,6 +11,7 @@ Usage mirrors the reference binary:
 Flags: -thresh F (default .25 like the reference; the shipped scripts pass .24),
 -iou_thresh F, -quantized, -bf16, -dont_show, -letterbox, -out_filename S,
 -save PATH, -c CAM_INDEX, -s FRAME_SKIP (demo), -int8_policy cpu|gpu|cpu_old,
+-device_nms (map/demo: greedy NMS on device, fused into the XLA program),
 -xnor_kernel int8|pallas, -batch N (map/demo device batch), -parallel N -tp M
 (map sharding), -params_cache DIR (converted-weights cache),
 -input_calibration N / -calib_method device|host (calibrate), -profile DIR, -i N.
@@ -83,6 +84,7 @@ def _main(argv=None) -> int:
     out_filename = _find_value(args, "-out_filename", None)
     save_path = _find_value(args, "-save", "predictions")
     int8_policy = _find_value(args, "-int8_policy", "cpu")
+    device_nms = _find_flag(args, "-device_nms")
     xnor_kernel = _find_value(args, "-xnor_kernel", "int8")
     device_index = _find_value(args, "-i", 0, int)
     if device_index:
@@ -149,7 +151,8 @@ def _main(argv=None) -> int:
                               data_parallel=data_parallel,
                               tensor_parallel=tensor_parallel,
                               compute_dtype=compute_dtype,
-                              params_cache=params_cache, **kw)
+                              params_cache=params_cache,
+                              device_nms=device_nms, **kw)
         return 0
     elif sub == "calibrate":
         if bf16:
@@ -168,7 +171,7 @@ def _main(argv=None) -> int:
              out_filename=out_filename, dont_show=dont_show,
              int8_policy=int8_policy, compute_dtype=compute_dtype,
              prefix=prefix, cam_index=cam_index, frame_skip=frame_skip,
-             batch=batch, params_cache=params_cache)
+             batch=batch, params_cache=params_cache, device_nms=device_nms)
         return 0
     print(f"Not an option: {sub}", file=sys.stderr)
     return 1

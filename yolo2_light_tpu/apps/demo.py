@@ -54,7 +54,7 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
          quantized: bool = False, out_filename=None, dont_show: bool = True,
          cam_index: int = 0, int8_policy: str = "cpu", max_frames=None,
          compute_dtype=None, prefix=None, frame_skip: int = 0,
-         batch: int = 0, params_cache=None) -> int:
+         batch: int = 0, params_cache=None, device_nms: bool = False) -> int:
     """Returns number of frames processed. Dense convs default to bf16 on the MXU
     (real-time video favors speed); pass compute_dtype=jnp.float32 for full fp32.
     ``batch``: frames per device step (default: 4 for file sources — throughput;
@@ -68,7 +68,7 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
     cd = compute_dtype if compute_dtype is not None else jnp.bfloat16
     pipe = DetectionPipeline(spec, params, mode, thresh=thresh, nms=nms,
                              int8_policy=int8_policy,
-                             compute_dtype=cd)
+                             compute_dtype=cd, device_nms=device_nms)
     classes = pipe.classes
     if batch <= 0:
         batch = 4 if filename else 1

@@ -1,5 +1,6 @@
 """Fused frame->boxes serving pipeline: (optional uint8 normalize) + network forward +
-on-device decode/compaction in ONE jitted XLA program; host does only exact NMS +
+on-device decode/compaction (+ optionally greedy NMS, ``device_nms=True``) in ONE
+jitted XLA program; host does only exact NMS (or, with device NMS, none) +
 formatting over <=K candidates.
 
 This is the TPU-native answer to the reference's predict->get_network_boxes->NMS chain
@@ -48,18 +49,24 @@ class DetectionPipeline:
 
     ``images``: [B,H,W,C] uint8 (preferred, [0,255]) or float32 in [0,1], already
     resized to net dims.
+
+    ``device_nms=True`` fuses exact greedy NMS (post/device_nms.py) into the
+    jitted program: the packed buffer arrives pre-suppressed and the host skips
+    ``do_nms_sort`` entirely — same detections (tests/test_device_nms.py), no
+    host post-processing beyond coordinate correction and formatting.
     """
 
     def __init__(self, spec: ModelSpec, params: list, mode: str = "fp32", *,
                  thresh: float = 0.24, nms: float = 0.4, k: int = 256,
                  int8_policy: str = "cpu", compute_dtype=jnp.float32,
                  letter: bool = False, packed_dtype=jnp.float32,
-                 xnor_impl: str = "int8", mesh=None):
+                 xnor_impl: str = "int8", mesh=None, device_nms: bool = False):
         self.spec = spec
         self.thresh = thresh
         self.nms = nms
         self.k = k
         self.letter = letter
+        self.device_nms = bool(device_nms and nms)
         self._mode = mode
         self._int8_policy = int8_policy
         self._compute_dtype = compute_dtype
@@ -76,6 +83,9 @@ class DetectionPipeline:
         netw, neth = spec.net.w, spec.net.h
         head_specs = self.head_specs
 
+        use_device_nms = self.device_nms
+        nms_thresh = nms
+
         def run(p, x):
             if x.ndim == 3:
                 # planar YUV420 ingest [B, H*3/2, W] uint8 — camera/codec-native,
@@ -86,6 +96,22 @@ class DetectionPipeline:
             heads, _ = fwd(p, x)
             packed = decode_and_compact_packed([h.data for h in heads],
                                                head_specs, netw, neth, thresh, k)
+            if use_device_nms:
+                # NMS on chip (post/device_nms.py): the buffer leaves the device
+                # already suppressed. Suppression zeroes probs, which would hide
+                # buffer saturation from the host — so the PRE-NMS candidate
+                # count rides along as one extra all-zero row with the count in
+                # element 0 (still a single D2H buffer; counts <= k stay exact
+                # in bf16 for the k<=256 default, and the count is only ever
+                # compared against k).
+                from .post.device_nms import nms_packed
+                score = jnp.max(packed[..., 5:], axis=-1)
+                counts = jnp.sum((score > 0).astype(jnp.int32), axis=-1)
+                packed = nms_packed(packed, nms_thresh)
+                extra = jnp.zeros((packed.shape[0], 1, packed.shape[2]),
+                                  packed.dtype)
+                extra = extra.at[:, 0, 0].set(counts.astype(packed.dtype))
+                packed = jnp.concatenate([packed, extra], axis=1)
             return packed.astype(packed_dtype)
 
         if mesh is not None:
@@ -124,8 +150,13 @@ class DetectionPipeline:
         if promoted is not None:
             return promoted(images, im_sizes)
         packed = np.asarray(self.raw(images)).astype(np.float32)  # one D2H transfer
-        if (packed.shape[1] == self.k and self.k < 4096
-                and bool((packed[:, :, 5:].max(axis=-1) > 0).all(axis=-1).any())):
+        rows = self.k + 1 if self.device_nms else self.k  # +1: count row
+        if self.device_nms:
+            saturated = bool((packed[:, -1, 0] >= self.k).any())
+        else:
+            saturated = bool(
+                (packed[:, :, 5:].max(axis=-1) > 0).all(axis=-1).any())
+        if packed.shape[1] == rows and self.k < 4096 and saturated:
             import sys
             new_k = min(4096, self.k * 4)
             print(f"note: candidate buffer K={self.k} saturated; re-running "
@@ -152,7 +183,7 @@ class DetectionPipeline:
                 nms=self.nms, k=new_k, int8_policy=self._int8_policy,
                 compute_dtype=self._compute_dtype, letter=self.letter,
                 xnor_impl=self._xnor_impl, mesh=self._mesh,
-                packed_dtype=self._packed_dtype)
+                packed_dtype=self._packed_dtype, device_nms=self.device_nms)
             self._grown_cache = cached
         return cached
 
@@ -204,11 +235,17 @@ class DetectionPipeline:
                 yield inflight.popleft().result()
 
     def _finish(self, packed_i: np.ndarray, w: int, h: int):
+        saturated = False
+        if self.device_nms:
+            # last row is the pre-NMS candidate count (see run()); probs are
+            # already suppressed on device, so no host NMS
+            saturated = packed_i[-1, 0] >= self.k
+            packed_i = packed_i[:-1]
         boxes = packed_i[:, :4]
         obj = packed_i[:, 4]
         probs = packed_i[:, 5:]
         keep = probs.max(axis=-1) > 0
-        if keep.all() and packed_i.shape[0] == self.k:
+        if saturated or (keep.all() and packed_i.shape[0] == self.k):
             import sys
             print(f"warning: candidate buffer K={self.k} saturated; "
                   "some detections may be dropped (raise k)", file=sys.stderr)
@@ -218,6 +255,6 @@ class DetectionPipeline:
                                    relative=True, letter=self.letter)
         dets = post.Detections(boxes.astype(np.float32), obj.astype(np.float32),
                                probs.astype(np.float32))
-        if self.nms:
+        if self.nms and not self.device_nms:
             post.do_nms_sort(dets, self.classes, self.nms)
         return dets
