@@ -180,7 +180,7 @@ def main():
         fwd = build_forward(spec, "fp32", compute_dtype=jnp.bfloat16)
         p = params_to_device(params)
         REP = 10
-        batch = 64
+        batch = 128  # throughput peaks at b=128 (batch sweep in PERF_NOTES.md)
 
         def dev_loop(x):
             def body(i, acc):
@@ -213,7 +213,7 @@ def main():
         fwd8 = build_forward(spec, "int8", int8_policy="cpu", int8_chain=True,
                              compute_dtype=jnp.bfloat16)
         p8 = params_to_device(_qp(spec, params))
-        batch = 64
+        batch = 128  # 0.346 ms/img at b=128; plateau ~0.334 through b=384
 
         def dev_loop8(x):
             def body(i, acc):
