@@ -61,8 +61,9 @@ def test_demo_frame_skip(tmp_path):
     weights = _gen_weights(cfg, 3, str(tmp_path))
     out = str(tmp_path / "out.mp4")
     from yolo2_light_tpu.apps.demo import demo
+    prefix = str(tmp_path / "frm")
     n = demo(cfg, weights, 0.4, vid, ["aaa", "bbb", "ccc"],
-             out_filename=out, dont_show=True, frame_skip=2)
+             out_filename=out, dont_show=True, frame_skip=2, prefix=prefix)
     assert n == 12
     cap = cv2.VideoCapture(out)
     frames = 0
@@ -70,6 +71,16 @@ def test_demo_frame_skip(tmp_path):
         frames += 1
     # delay starts at frame_skip: frames 3, 6, 9, 12 are shown
     assert frames == 4
+    # -prefix saves EVERY count (PNG) once a drawn frame exists, repeating the
+    # stale frame between advances (reference saves disp each iteration,
+    # src/main.c:538-542): counts 3..12, with e.g. 4 and 5 byte-equal to 3
+    saved = sorted(os.listdir(tmp_path))
+    pngs = [f for f in saved if f.startswith("frm_") and f.endswith(".png")]
+    assert pngs == [f"frm_{i:08d}.png" for i in range(3, 13)]
+    raw3 = open(tmp_path / "frm_00000003.png", "rb").read()
+    assert open(tmp_path / "frm_00000004.png", "rb").read() == raw3
+    assert open(tmp_path / "frm_00000005.png", "rb").read() == raw3
+    assert open(tmp_path / "frm_00000006.png", "rb").read() != raw3
 
 
 def test_params_cache_roundtrip(tmp_path):
@@ -98,6 +109,40 @@ def test_params_cache_roundtrip(tmp_path):
             np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), k)
 
 
+def test_params_cache_misses_on_cfg_change(tmp_path):
+    """The cache key must include the cfg contents: input_calibration= scales are
+    baked into the quantized params, so editing the cfg (e.g. pasting a fresh
+    calibration line) with an unchanged .weights must NOT hit the stale entry."""
+    import numpy as np
+
+    from yolo2_light_tpu.apps.detect import build_params
+    src = os.path.join(DATA, "mini-yolo3.cfg")
+    weights = _gen_weights(src, 7, str(tmp_path))
+    cache = str(tmp_path / "pcache")
+
+    text = open(src).read()
+    cfg1 = str(tmp_path / "a.cfg")
+    open(cfg1, "w").write(text)
+    _, p1, _ = build_params(cfg1, weights, quantized=True, params_cache=cache)
+    n_entries = len(os.listdir(cache))
+
+    # same path, different calibration scales -> different quant multipliers
+    assert "input_calibration=" in text
+    import re
+    text2 = re.sub(r"input_calibration=.*",
+                   "input_calibration=3, 3, 3, 3, 3, 3, 3, 3", text)
+    assert text2 != text
+    open(cfg1, "w").write(text2)
+    _, p2, _ = build_params(cfg1, weights, quantized=True, params_cache=cache)
+    assert len(os.listdir(cache)) == n_entries + 1  # miss -> new entry
+    changed = any(
+        a is not None and "input_quant_multipler" in a
+        and not np.array_equal(np.asarray(a["input_quant_multipler"]),
+                               np.asarray(b["input_quant_multipler"]))
+        for a, b in zip(p1, p2))
+    assert changed
+
+
 def test_cli_usage_errors():
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
     r = subprocess.run([sys.executable, "-m", "yolo2_light_tpu"],
@@ -120,7 +165,7 @@ def test_cli_missing_files():
     assert "Couldn't open file" in r.stderr
 
 
-def test_params_cache_roundtrip(tmp_path):
+def test_params_cache_npz_roundtrip(tmp_path):
     from yolo2_light_tpu.cfg import parse_network_cfg
     from yolo2_light_tpu.weights import (fuse_conv_batchnorm, load_params_cache,
                                          random_params, save_params_cache)

@@ -97,7 +97,9 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
     # order and prefetches at most `depth` batches, so this stays small
     rgb_batches: list = []
 
-    def batches():
+    def pairs():
+        """(stacked device batch, padded im_sizes) tuples; rgb frames stashed in
+        rgb_batches for the FIFO result loop."""
         done = False
         while not done:
             rgbs, sizeds = [], []
@@ -111,53 +113,64 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
             if not sizeds:
                 return
             rgb_batches.append(rgbs)
+            szs = [(r.shape[1], r.shape[0]) for r in rgbs]
             while len(sizeds) < batch:
                 # pad the tail batch to the compiled batch size (one jit program
                 # for the whole stream); extras are dropped by the rgb zip
                 sizeds.append(sizeds[-1])
-            yield np.stack(sizeds)
-
-    def sizes():
-        # im_sizes must be generated lazily batch-by-batch alongside batches();
-        # padded to the compiled batch size like the frames themselves
-        while True:
-            s = [(r.shape[1], r.shape[0]) for r in rgb_batches[-1]]
-            s += [s[-1]] * (batch - len(s))
-            yield s
+                szs.append(szs[-1])
+            yield np.stack(sizeds), szs
 
     count = 0
     fps = 0.0
     delay = frame_skip
     before = time.time()
     stop_all = False
+    last_bgr = None  # the reference's disp/show_img analog: the most recently
+    #                  drawn frame, re-saved on gated iterations
     try:
-        sizes_it = iter(sizes())
-        for dets_list in pipe.stream(batches(), im_sizes_iter=sizes_it,
+        import itertools
+        # tee keeps batches and sizes in lockstep no matter how stream()
+        # interleaves its pulls from the two iterators
+        p1, p2 = itertools.tee(pairs())
+        for dets_list in pipe.stream((b for b, _ in p1),
+                                     im_sizes_iter=(s for _, s in p2),
                                      depth=2, workers=1):
             rgbs = rgb_batches.pop(0)
             for rgb, dets in zip(rgbs, dets_list):
                 count += 1
-                # reference delay gate: draw/show/save only when delay hits 0
-                show_frame = delay == 0
-                if show_frame:
+                # reference delay gate (src/main.c:553-557): the drawn frame
+                # only ADVANCES when delay hits 0; gated iterations reuse it
+                if delay == 0:
                     im_io.draw_detections(rgb, dets, names, thresh, classes)
-                    frame_bgr = cv2.cvtColor(
+                    last_bgr = cv2.cvtColor(
                         (np.clip(rgb, 0, 1) * 255).astype(np.uint8),
                         cv2.COLOR_RGB2BGR)
                     if writer is not None:
-                        writer.write(frame_bgr)
-                    if prefix:
-                        # reference -prefix: save numbered frames, don't show
-                        cv2.imwrite(f"{prefix}_{count:08d}.jpg", frame_bgr)
-                    elif not dont_show:
-                        cv2.imshow("Demo", frame_bgr)
-                        if cv2.waitKey(1) == 27:
-                            stop_all = True
+                        # writer cadence: one frame per (frame_skip+1) source
+                        # frames — the reference's show_img is freshly assigned
+                        # (non-NULL) on exactly these iterations (main.c:544-548)
+                        writer.write(last_bgr)
+                    if not prefix and not dont_show:
+                        cv2.imshow("Demo", last_bgr)
+                if prefix:
+                    # reference -prefix saves EVERY count as PNG, repeating the
+                    # stale frame between advances (main.c:538-542 saves disp,
+                    # which only changes when delay==0)
+                    if last_bgr is not None:
+                        cv2.imwrite(f"{prefix}_{count:08d}.png", last_bgr)
+                elif not dont_show:
+                    # the reference polls the key every iteration (main.c:535)
+                    if cv2.waitKey(1) == 27:
+                        stop_all = True
                 delay -= 1
                 if delay < 0:
                     delay = frame_skip
                     after = time.time()
-                    fps = (frame_skip + 1) / max(after - before, 1e-6)
+                    # reference FPS is 1/window over the (frame_skip+1)-frame
+                    # window — displayed-frames/s, not source-frames/s
+                    # (main.c:563-570)
+                    fps = 1.0 / max(after - before, 1e-6)
                     before = after
                     print(f"\033[2J\033[1;1H\nFPS:{fps:.1f}\nObjects:\n",
                           file=sys.stderr)

@@ -25,9 +25,13 @@ def build_params(cfgfile: str, weightfile, quantized: bool = False,
     parse -> load/init -> BN-fuse -> XNOR-binarize -> (INT8-quantize).
 
     ``params_cache``: optional directory; the fully transformed pytree is cached
-    as .npz keyed by (weights path, mtime, size, quantized) so repeated CLI runs
-    skip load+fuse+binarize+quantize (SURVEY §5 checkpoint/resume analog —
-    the reference re-reads/transforms .weights every run)."""
+    as .npz keyed by (weights path, mtime, size, quantized, cfg content digest)
+    so repeated CLI runs skip load+fuse+binarize+quantize (SURVEY §5
+    checkpoint/resume analog — the reference re-reads/transforms .weights every
+    run). The cfg digest matters: the transforms bake cfg state into the params
+    (input_calibration= scales into the INT8 multipliers, per-layer xnor= flags
+    into binarization), so e.g. pasting a fresh `detector calibrate` line into
+    the cfg — or two cfgs sharing one .weights — must miss the cache."""
     spec = parse_network_cfg(cfgfile, batch=batch, quantized=quantized)
     mode = "int8" if quantized else "fp32"
 
@@ -37,9 +41,11 @@ def build_params(cfgfile: str, weightfile, quantized: bool = False,
         import os
         from ..weights import load_params_cache
         st = os.stat(weightfile)
+        with open(cfgfile, "rb") as f:
+            cfg_digest = hashlib.sha1(f.read()).hexdigest()
         key = hashlib.sha1(
             f"{os.path.abspath(weightfile)}:{st.st_mtime_ns}:{st.st_size}:"
-            f"{quantized}".encode()).hexdigest()[:16]
+            f"{quantized}:{cfg_digest}".encode()).hexdigest()[:16]
         os.makedirs(params_cache, exist_ok=True)
         cpath = os.path.join(params_cache, f"params_{key}.npz")
         if os.path.exists(cpath):

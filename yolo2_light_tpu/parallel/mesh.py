@@ -52,7 +52,11 @@ def shard_params(spec: ModelSpec, params: list, mesh: Mesh) -> list:
             continue
         q = {}
         for k, v in p.items():
-            v = np.asarray(v)
+            if not isinstance(v, jax.Array):
+                # keep device arrays as-is: device_put with an identical
+                # sharding below is then a no-op (re-sharding an already-placed
+                # pytree, e.g. pipeline auto-grow, must not bounce via host)
+                v = np.asarray(v)
             if v.ndim == 4 and v.shape[-1] % model_size == 0:
                 ps = P(None, None, None, "model")      # HWIO: shard O
             elif v.ndim == 1 and v.shape[0] % model_size == 0 and v.shape[0] > 1:

@@ -73,7 +73,15 @@ class DetectionPipeline:
         self._xnor_impl = xnor_impl
         self._mesh = mesh
         self._packed_dtype = packed_dtype
-        self.params = params_to_device(params)
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            # tensor-parallel: shard straight from the host params —
+            # params_to_device would commit everything to device 0 first and
+            # shard_params' np.asarray would then fetch it all back (a wasted
+            # full-weights round trip through the ~60MB/s relay)
+            from .parallel.mesh import shard_params
+            self.params = shard_params(spec, params, mesh)
+        else:
+            self.params = params_to_device(params)
         self.head_specs = [l for l in spec.layers
                            if isinstance(l, (YoloSpec, RegionSpec))]
         self.classes = self.head_specs[-1].classes
@@ -122,9 +130,6 @@ class DetectionPipeline:
             # propagates the channel sharding and inserts all-gathers only where
             # routes/heads demand (parallel/mesh.py).
             from jax.sharding import NamedSharding, PartitionSpec as P
-            if mesh.shape.get("model", 1) > 1:
-                from .parallel.mesh import shard_params
-                self.params = shard_params(spec, self.params, mesh)
             x_sharding = NamedSharding(mesh, P("data", None, None, None))
             out_sharding = NamedSharding(mesh, P("data", None, None))
             self._jitted = jax.jit(run, in_shardings=(None, x_sharding),
