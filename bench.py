@@ -185,7 +185,10 @@ def main():
         def dev_loop(x):
             def body(i, acc):
                 heads, _ = fwd(p, x + acc * 1e-12)  # defeat loop hoisting
-                return acc + jnp.sum(heads[0].data[..., 4])
+                # consume EVERY head's FULL output: a slice-only carry lets XLA
+                # DCE the unconsumed head branches / narrow the final convs
+                # (PERF_NOTES.md methodology trap #2)
+                return acc + sum(jnp.sum(h.data) for h in heads) * 1e-9
             return jax.lax.fori_loop(0, REP, body, 0.0)
 
         f = jax.jit(dev_loop)
@@ -213,12 +216,13 @@ def main():
         fwd8 = build_forward(spec, "int8", int8_policy="cpu", int8_chain=True,
                              compute_dtype=jnp.bfloat16)
         p8 = params_to_device(_qp(spec, params))
-        batch = 128  # 0.346 ms/img at b=128; plateau ~0.334 through b=384
+        batch = 128  # 0.420 ms/img at b=128; plateau ~0.413 through b=384
 
         def dev_loop8(x):
             def body(i, acc):
                 heads, _ = fwd8(p8, x + acc * 1e-12)
-                return acc + jnp.sum(heads[0].data[..., 4])
+                # full consumption of all heads (see fp32 probe note)
+                return acc + sum(jnp.sum(h.data) for h in heads) * 1e-9
             return jax.lax.fori_loop(0, REP, body, 0.0)
 
         f8 = jax.jit(dev_loop8)
