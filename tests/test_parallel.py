@@ -103,3 +103,24 @@ def test_pipeline_k_autogrow():
     assert d_small.n == d_big.n
     np.testing.assert_allclose(np.sort(d_small.prob.max(-1)),
                                np.sort(d_big.prob.max(-1)), rtol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_pipeline_tensor_parallel_device_nms(tmp_path):
+    """device_nms under a dp x tp mesh: the suppressed buffer (+ count row) is
+    sharded over data and must match the meshless device-NMS pipeline."""
+    from yolo2_light_tpu.pipeline import DetectionPipeline
+    cfg = _shrunk_cfg("/root/reference/bin/yolov3-tiny.cfg", tmp_path)
+    spec = parse_network_cfg(cfg, batch=2)
+    params = fuse_conv_batchnorm(spec, random_params(spec, seed=4))
+    x = (np.random.RandomState(2).rand(2, 128, 128, 3) * 255).astype(np.uint8)
+
+    plain = DetectionPipeline(spec, params, thresh=0.24, nms=0.4, k=512,
+                              device_nms=True)
+    mesh = make_mesh(8, data=2, model=4)
+    tp = DetectionPipeline(spec, params, thresh=0.24, nms=0.4, k=512,
+                           mesh=mesh, device_nms=True)
+    for a, b in zip(plain(x), tp(x)):
+        assert a.n == b.n
+        np.testing.assert_allclose(np.sort(a.prob.max(-1)),
+                                   np.sort(b.prob.max(-1)), rtol=1e-4)
