@@ -45,6 +45,9 @@ def main():
     f_pal = loop(lambda x: conv2d_xnor_pallas(
         x, jnp.asarray(packed), jnp.asarray(mean), jnp.asarray(bias),
         size=3, stride=1, pad=1, c_real=c, k_real=k_real))
+    f_pmx = loop(lambda x: conv2d_xnor_pallas(
+        x, jnp.asarray(packed), jnp.asarray(mean), jnp.asarray(bias),
+        size=3, stride=1, pad=1, c_real=c, k_real=k_real, engine="mxu"))
     xj = jnp.asarray(x)
 
     a = np.asarray(jax.jit(lambda x: L.conv2d_xnor(
@@ -55,8 +58,14 @@ def main():
         size=3, stride=1, pad=1, c_real=c, k_real=k_real))(xj))
     print(f"bit-identical: {np.array_equal(a, b)} (maxdiff "
           f"{np.abs(a - b).max():g})")
+    bm = np.asarray(jax.jit(lambda x: conv2d_xnor_pallas(
+        x, jnp.asarray(packed), jnp.asarray(mean), jnp.asarray(bias),
+        size=3, stride=1, pad=1, c_real=c, k_real=k_real, engine="mxu"))(xj))
+    print(f"bit-identical (pallas_mxu): {np.array_equal(a, bm)} (maxdiff "
+          f"{np.abs(a - bm).max():g})")
 
-    for name, f in [("mxu_int8", f_int8), ("pallas_popcount", f_pal)]:
+    for name, f in [("mxu_int8", f_int8), ("pallas_popcount", f_pal),
+                    ("pallas_mxu", f_pmx)]:
         for _ in range(2):
             _ = float(f(xj))
         t0 = time.perf_counter()

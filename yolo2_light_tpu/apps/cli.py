@@ -12,7 +12,8 @@ Flags: -thresh F (default .25 like the reference; the shipped scripts pass .24),
 -iou_thresh F, -quantized, -bf16, -dont_show, -letterbox, -out_filename S,
 -save PATH, -c CAM_INDEX, -s FRAME_SKIP (demo), -int8_policy cpu|gpu|cpu_old,
 -device_nms (map/demo: greedy NMS on device, fused into the XLA program),
--xnor_kernel int8|pallas, -batch N (map/demo device batch), -parallel N -tp M
+-xnor_kernel int8|pallas|pallas_mxu, -batch N (map/demo device batch),
+-parallel N -tp M
 (map sharding), -params_cache DIR (converted-weights cache),
 -input_calibration N / -calib_method device|host (calibrate), -profile DIR, -i N.
 """

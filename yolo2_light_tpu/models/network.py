@@ -150,7 +150,8 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
                 if capture_conv_inputs:
                     conv_inputs.append(cur)
                 if l.xnor:
-                    if (xnor_impl == "pallas" and l.stride == 1 and l.pad == 1
+                    if (xnor_impl in ("pallas", "pallas_mxu")
+                            and l.stride == 1 and l.pad == 1
                             and "packed_weights" in p):
                         from ..ops.pallas_xnor import conv2d_xnor_pallas
                         cur = conv2d_xnor_pallas(
@@ -158,7 +159,9 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
                             p["biases"], size=l.size, stride=l.stride,
                             pad=l.pad, c_real=l.c,
                             k_real=l.size * l.size * l.c,
-                            activation=l.activation)
+                            activation=l.activation,
+                            engine="mxu" if xnor_impl == "pallas_mxu"
+                            else "popcount")
                     else:
                         cur = L.conv2d_xnor(
                             cur, p["sign_weights"], p["mean_arr"], p["biases"],

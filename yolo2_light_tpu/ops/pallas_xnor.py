@@ -19,10 +19,28 @@ produces 0-bits == -1 activations, matching the reference's bit path (see
 models/layers.conv2d_xnor notes); channel padding bits are zero in both operands
 (always-match) and are subtracted as a constant.
 
-On TPU the MXU +-1 int8 path (models/layers.conv2d_xnor) is usually FASTER — the MXU
-does 8-bit MACs at ~4x the VPU's popcount lane throughput — but the bit kernel uses
-32x less weight memory and exercises the reference's true BIT1 storage format. Both
-produce identical results; see tests/test_pallas_xnor.py and bench_xnor.py.
+Three interchangeable engines, all bit-identical GIVEN IDENTICAL INPUTS
+(tests/test_pallas_xnor.py, bench_xnor.py; 52x52x128->256 conv, b=1, measured
+on the v5e):
+
+* dense +-1 int8 MXU (models/layers.conv2d_xnor, `-xnor_kernel int8`): 0.48 ms —
+  fastest, but weights stored as int8 (8x the bits).
+* popcount VPU kernel here (`-xnor_kernel pallas`): 1.1 ms — the faithful
+  reference formulation (XOR + popcount over bit lanes), 32x packed weights.
+* bit-packed MXU kernel here (`-xnor_kernel pallas_mxu`): 0.61 ms — weights stay
+  bit-packed in HBM; each tile unpacks to +-1 int8 in VMEM and contracts on the
+  MXU (the TPU analog of the CUDA binary tensor-core kernel, gpu.cu:1815-2002).
+  Best of both: ~MXU speed at 1/32 the weight footprint. tn=256 measured best
+  (128: 0.64, 512: 0.79).
+
+Cross-program reproducibility caveat (measured, not a kernel bug): at full-net
+depth the engines can disagree on a handful of outputs because XLA lowers the
+UPSTREAM float convs with 1-ULP differences when the graph contains a Pallas
+custom call (eager execution matches the dense engine exactly; an
+optimization_barrier before packing does not restore it). Sign binarization
+(x > 0) amplifies such zero-crossing flips layer by layer — the same property
+the reference has between its own AVX and scalar builds. Within one compiled
+program results are deterministic.
 """
 
 from __future__ import annotations
@@ -157,10 +175,85 @@ def xnor_gemm(packed_w, mean, bias, patches, k_real: int, *,
     return out[:n, :m_real]
 
 
+def _xnor_mxu_kernel(a_ref, b_ref, mean_ref, bias_ref, out_ref, *,
+                     const: float, leaky: bool):
+    """MXU engine: blocks a [TM, F] / b [TN, F] int32 bit lanes are unpacked to
+    +-1 int8 in VMEM (32 shift/mask planes, bit-major concat — identical order
+    for both operands, so the contraction is consistent) and contracted on the
+    MXU: dot = matches - mismatches = 2*cnt - L over L = F*32 unpacked bits, so
+    out = (dot - extra_pad_bits) * mean + bias reproduces the popcount kernel's
+    (2*cnt - adjust) * mean + bias exactly. Keeps the reference's BIT1 weight
+    storage (32x smaller than int8) while trading the VPU popcount loop for an
+    int8 MXU matmul — the TPU analog of the CUDA binary tensor-core kernel
+    (src/gpu.cu:1815-2002)."""
+    def unpack(v):
+        # arithmetic stays int32 (Mosaic has no vector int8 mul); one cast at
+        # the end feeds the int8 MXU operands
+        planes = [((v >> k) & 1) for k in range(32)]
+        return (2 * jnp.concatenate(planes, axis=1) - 1).astype(jnp.int8)
+
+    au = unpack(a_ref[:])                              # [TM, L]
+    bu = unpack(b_ref[:])                              # [TN, L]
+    acc = lax.dot_general(bu, au, (((1,), (1,)), ((), ())),
+                          preferred_element_type=jnp.int32)   # [TN, TM]
+    y = (acc.astype(jnp.float32) + const) * mean_ref[0, :] + bias_ref[0, :]
+    if leaky:
+        y = jnp.where(y > 0, y, 0.1 * y)
+    out_ref[:] = y
+
+
+def xnor_gemm_mxu(packed_w, mean, bias, patches, k_real: int, *,
+                  activation: str = "leaky", tn: int = 256,
+                  interpret: bool = False):
+    """Bit-packed GEMM on the MXU engine (see _xnor_mxu_kernel). Interface and
+    results identical to :func:`xnor_gemm`; the F axis only needs 32*F % 128
+    alignment (F multiple of 4), not the popcount kernel's 128-lane padding."""
+    m_pad, f_pad = packed_w.shape
+    n = patches.shape[0]
+    n_pad = _round_up(n, tn)
+    if n_pad != n:
+        patches = jnp.pad(patches, ((0, n_pad - n), (0, 0)))
+    tm = min(128, m_pad)
+    m_real = mean.shape[0]
+    mean_p = jnp.zeros((1, m_pad), jnp.float32).at[0, :m_real].set(mean)
+    bias_p = jnp.zeros((1, m_pad), jnp.float32).at[0, :m_real].set(bias)
+    extra = f_pad * 32 - k_real   # padding bits: 0 in both operands -> +1 each
+    const = float(-extra)
+    leaky = activation == "leaky"
+    if activation not in ("leaky", "linear"):
+        raise NotImplementedError(activation)
+
+    grid = (m_pad // tm, n_pad // tn)
+    out = pl.pallas_call(
+        functools.partial(_xnor_mxu_kernel, const=const, leaky=leaky),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, f_pad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, f_pad), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tn, tm), lambda i, j: (j, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), jnp.float32),
+        interpret=interpret,
+    )(packed_w, patches, mean_p, bias_p)
+    return out[:n, :m_real]
+
+
 def conv2d_xnor_pallas(x, packed_w, mean, bias, *, size: int, stride: int,
                        pad: int, c_real: int, k_real: int,
-                       activation: str = "leaky", interpret=None):
-    """Full BIT1 conv: pack input bits -> packed patch extraction -> popcount GEMM.
+                       activation: str = "leaky", interpret=None,
+                       engine: str = "popcount"):
+    """Full BIT1 conv: pack input bits -> packed patch extraction -> bit GEMM.
+
+    ``engine``: "popcount" (VPU xnor+popcount loop, the faithful reference
+    formulation) or "mxu" (same bit-packed operands, unpacked to +-1 int8
+    in-kernel and contracted on the MXU — faster, identical results).
 
     Valid for the reference bit-path domain (stride==1, pad==1 uses -1 border
     semantics; this kernel always uses 0-bit borders == -1, so callers should gate on
@@ -172,17 +265,38 @@ def conv2d_xnor_pallas(x, packed_w, mean, bias, *, size: int, stride: int,
         interpret = _jax.default_backend() != "tpu"
     b, h, w, _ = x.shape
     packed_x, c32 = _pack_activations(x, c_real)
-    # patches on int32 lanes; feature order (c32, kh, kw) matches pack_weights
-    patches = lax.conv_general_dilated_patches(
-        packed_x, (size, size), (stride, stride), [(pad, pad), (pad, pad)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    oh, ow = patches.shape[1], patches.shape[2]
+    # patches on int32 lanes; feature order (c32, kh, kw) matches pack_weights.
+    # Static spatial slices, not conv_general_dilated_patches: slices are pure
+    # data movement (exact on int32 by construction), where the patches helper
+    # lowers to a real convolution that the backend may route through float
+    # passes for integer operands.
+    if pad:
+        packed_x = jnp.pad(packed_x,
+                           ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    hp, wp = h + 2 * pad, w + 2 * pad
+    oh = (hp - size) // stride + 1
+    ow = (wp - size) // stride + 1
+    taps = [packed_x[:, kh: kh + (oh - 1) * stride + 1: stride,
+                     kw: kw + (ow - 1) * stride + 1: stride, :]
+            for kh in range(size) for kw in range(size)]
+    # [B,OH,OW,KH*KW,C32] -> [B,OH,OW,C32,KH*KW] == feature order (c32, kh, kw)
+    patches = jnp.stack(taps, axis=3).swapaxes(3, 4)
     f = c32 * size * size
-    f_pad = packed_w.shape[1]
     pt = patches.reshape(b * oh * ow, f)                 # [B*N, F]
-    if f_pad != f:
-        pt = jnp.pad(pt, ((0, 0), (0, f_pad - f)))
-    out = xnor_gemm(packed_w, mean, bias, pt, k_real,
-                    activation=activation, interpret=interpret)
     m_real = mean.shape[0]
+    if engine == "mxu":
+        # lane padding only to 32*F % 128 (F % 4); the stored packed_w carries
+        # the popcount kernel's 128-lane padding — slice it down (zeros beyond
+        # the real F either way, so `extra` accounting matches)
+        f4 = _round_up(f, 4)
+        if pt.shape[1] != f4:
+            pt = jnp.pad(pt, ((0, 0), (0, f4 - f)))
+        out = xnor_gemm_mxu(packed_w[:, :f4], mean, bias, pt, k_real,
+                            activation=activation, interpret=interpret)
+    else:
+        f_pad = packed_w.shape[1]
+        if f_pad != f:
+            pt = jnp.pad(pt, ((0, 0), (0, f_pad - f)))
+        out = xnor_gemm(packed_w, mean, bias, pt, k_real,
+                        activation=activation, interpret=interpret)
     return out.reshape(b, oh, ow, m_real)
