@@ -100,3 +100,33 @@ def test_xnor_shipped_cfg_fullsize(oracle, tmp_path):
     utext = run_ours_detect(names, cfg, weights, IMAGE, thresh=0.5)
     assert_detections_match(otext, utext, px_tol=5, max_unmatched_frac=0.05,
                             context="tiny-yolo-obj-xnor-416")
+
+
+@pytest.mark.slow
+def test_yolov3_openimages_fullsize(oracle, tmp_path):
+    """yolov3-openimages: 601 classes, 608x608, same 106-layer graph with a
+    wider head (completes the shipped-model-zoo oracle coverage).
+
+    Head conv weights are damped: at this depth/width raw random weights
+    saturate thousands of detections at conf=100% with exp-overflow boxes,
+    and the oracle's unstable qsort then makes NMS tie-breaking chaotic —
+    damping yields varied finite confidences like trained weights."""
+    from yolo2_light_tpu.cfg import ConvSpec, YoloSpec
+
+    cfg = os.path.join(BIN, "yolov3-openimages.cfg")
+    spec = parse_network_cfg(cfg, batch=1)
+    params = random_params(spec, seed=21)
+    for l in spec.layers:
+        if isinstance(l, YoloSpec):
+            conv = spec.layers[l.index - 1]
+            if isinstance(conv, ConvSpec):
+                params[conv.index]["weights"] = \
+                    params[conv.index]["weights"] * 0.05
+    weights = str(tmp_path / "w.weights")
+    save_weights(spec, params, weights)
+    names_file, names = _names(tmp_path, 601)
+    otext = run_oracle_detect(oracle, names_file, cfg, weights, IMAGE,
+                              thresh=0.3)
+    utext = run_ours_detect(names, cfg, weights, IMAGE, thresh=0.3)
+    assert_detections_match(otext, utext, px_tol=4,
+                            context="yolov3-openimages-608")

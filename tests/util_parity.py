@@ -67,7 +67,13 @@ def assert_detections_match(oracle_text, ours_text, conf_tol=2, px_tol=3,
                 continue
             if abs(ub[1] - ob[1]) > conf_tol:
                 continue
-            if all(abs(ub[j] - ob[j]) <= px_tol for j in range(2, 6)):
+            # absolute pixel tolerance for real boxes; relative for the huge
+            # degenerate exp-overflow boxes random weights produce (coords
+            # ~1e6+ pixels, where fp32 chaos dwarfs any fixed pixel budget —
+            # the box is off-image garbage in both implementations either way)
+            if all(abs(ub[j] - ob[j]) <= max(
+                    px_tol, 1e-3 * max(abs(ub[j]), abs(ob[j])))
+                    for j in range(2, 6)):
                 hit = i
                 break
         if hit is None:
