@@ -69,15 +69,19 @@ def test_demo_frame_skip(tmp_path):
     frames = 0
     while cap.read()[0]:
         frames += 1
-    # delay starts at frame_skip: frames 3, 6, 9, 12 are shown
-    assert frames == 4
-    # -prefix saves EVERY count (PNG) once a drawn frame exists, repeating the
-    # stale frame between advances (reference saves disp each iteration,
-    # src/main.c:538-542): counts 3..12, with e.g. 4 and 5 byte-equal to 3
+    # frame 1 primes the drawn buffer (reference's pre-loop fetch/detect);
+    # thereafter the delay gate advances at frames 3, 6, 9, 12
+    assert frames == 5
+    # -prefix saves EVERY count (PNG) from count 1, repeating the stale frame
+    # between advances (reference saves disp each iteration, main.c:538-542):
+    # e.g. 2 byte-equal to 1 (stale), 3 a fresh advance, 4/5 byte-equal to 3
     saved = sorted(os.listdir(tmp_path))
     pngs = [f for f in saved if f.startswith("frm_") and f.endswith(".png")]
-    assert pngs == [f"frm_{i:08d}.png" for i in range(3, 13)]
+    assert pngs == [f"frm_{i:08d}.png" for i in range(1, 13)]
+    raw1 = open(tmp_path / "frm_00000001.png", "rb").read()
+    assert open(tmp_path / "frm_00000002.png", "rb").read() == raw1
     raw3 = open(tmp_path / "frm_00000003.png", "rb").read()
+    assert raw3 != raw1
     assert open(tmp_path / "frm_00000004.png", "rb").read() == raw3
     assert open(tmp_path / "frm_00000005.png", "rb").read() == raw3
     assert open(tmp_path / "frm_00000006.png", "rb").read() != raw3

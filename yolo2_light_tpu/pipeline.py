@@ -107,18 +107,18 @@ class DetectionPipeline:
             if use_device_nms:
                 # NMS on chip (post/device_nms.py): the buffer leaves the device
                 # already suppressed. Suppression zeroes probs, which would hide
-                # buffer saturation from the host — so the PRE-NMS candidate
-                # count rides along as one extra all-zero row with the count in
-                # element 0 (still a single D2H buffer; counts <= k stay exact
-                # in bf16 for the k<=256 default, and the count is only ever
-                # compared against k).
+                # buffer saturation from the host — so a PRE-NMS saturation
+                # FLAG (1.0 iff every slot held a candidate) rides along as one
+                # extra all-zero row (still a single D2H buffer; 0/1 survives
+                # any packed_dtype exactly, unlike a raw count, which would
+                # round in bf16/f16 for larger k)
                 from .post.device_nms import nms_packed
                 score = jnp.max(packed[..., 5:], axis=-1)
-                counts = jnp.sum((score > 0).astype(jnp.int32), axis=-1)
+                saturated = jnp.all(score > 0, axis=-1)
                 packed = nms_packed(packed, nms_thresh)
                 extra = jnp.zeros((packed.shape[0], 1, packed.shape[2]),
                                   packed.dtype)
-                extra = extra.at[:, 0, 0].set(counts.astype(packed.dtype))
+                extra = extra.at[:, 0, 0].set(saturated.astype(packed.dtype))
                 packed = jnp.concatenate([packed, extra], axis=1)
             return packed.astype(packed_dtype)
 
@@ -155,9 +155,9 @@ class DetectionPipeline:
         if promoted is not None:
             return promoted(images, im_sizes)
         packed = np.asarray(self.raw(images)).astype(np.float32)  # one D2H transfer
-        rows = self.k + 1 if self.device_nms else self.k  # +1: count row
+        rows = self.k + 1 if self.device_nms else self.k  # +1: flag row
         if self.device_nms:
-            saturated = bool((packed[:, -1, 0] >= self.k).any())
+            saturated = bool((packed[:, -1, 0] > 0).any())
         else:
             saturated = bool(
                 (packed[:, :, 5:].max(axis=-1) > 0).all(axis=-1).any())
@@ -242,9 +242,9 @@ class DetectionPipeline:
     def _finish(self, packed_i: np.ndarray, w: int, h: int):
         saturated = False
         if self.device_nms:
-            # last row is the pre-NMS candidate count (see run()); probs are
+            # last row is the pre-NMS saturation flag (see run()); probs are
             # already suppressed on device, so no host NMS
-            saturated = packed_i[-1, 0] >= self.k
+            saturated = packed_i[-1, 0] > 0
             packed_i = packed_i[:-1]
         boxes = packed_i[:, :4]
         obj = packed_i[:, 4]

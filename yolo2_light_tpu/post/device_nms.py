@@ -64,8 +64,13 @@ def nms_probs(boxes, probs, thresh: float):
     class_ix = jnp.arange(c)
     over = iou > thresh
     # ranks past the last nonzero prob (in EVERY class) are padding/sub-threshold
-    # slots: nothing to keep or suppress there, so the walk stops early — real
-    # thresholded workloads have tens of candidates in a K=256 buffer
+    # slots: nothing to keep or suppress there, so the walk stops early.
+    # Serving thresholds (0.24+) leave tens of live ranks in a K=256 buffer;
+    # the dense-eval regime (map's thresh=0.005, K=1024) runs the full K steps
+    # — still measured 2.6-4x faster than the native host NMS there (and under
+    # vmap the batch runs until its LAST image is done). Memory note: the
+    # [K, K] IoU matrix is per-image; at K=4096 (auto-grow cap) keep the batch
+    # small.
     rank_has_work = jnp.max(sorted_desc, axis=1)  # [K], non-increasing
 
     def cond(state):
