@@ -52,3 +52,31 @@ def test_pallas_xnor_mxu_engine_matches(c, m, hw):
         jnp.asarray(bias), size=3, stride=1, pad=1, c_real=c, k_real=k_real,
         interpret=True, engine="mxu"))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_full_net_engines_match():
+    """All three XNOR engines through the full network builder (mini-xnor.cfg:
+    dense first conv -> maxpool -> xnor convs -> head) must agree. On the CPU
+    backend the kernels run in interpret mode inside the same-structure XLA
+    graphs, so outputs match exactly."""
+    import os
+
+    from yolo2_light_tpu.cfg import parse_network_cfg
+    from yolo2_light_tpu.models.network import Predictor
+    from yolo2_light_tpu.weights import fuse_conv_batchnorm, random_params
+    from yolo2_light_tpu.xnor import binarize_params
+
+    cfg = os.path.join(os.path.dirname(__file__), "data", "mini-xnor.cfg")
+    spec = parse_network_cfg(cfg, batch=1)
+    params = binarize_params(
+        spec, fuse_conv_batchnorm(spec, random_params(spec, seed=6)))
+    x = np.random.RandomState(3).rand(
+        1, spec.net.h, spec.net.w, spec.net.c).astype(np.float32)
+    outs = {}
+    for eng in ("int8", "pallas", "pallas_mxu"):
+        heads = Predictor(spec, params, xnor_impl=eng)(x)
+        outs[eng] = [np.asarray(h.data) for h in heads]
+    for eng in ("pallas", "pallas_mxu"):
+        for a, b in zip(outs["int8"], outs[eng]):
+            np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5,
+                                       err_msg=eng)
