@@ -136,3 +136,18 @@ def test_pipeline_device_nms_autogrow(capsys):
     # grown buffer must converge to the unsaturated result
     if promoted.k >= d_big.n:
         assert d_small.n == d_big.n
+
+
+def test_device_nms_stream_saturation_warning(capsys):
+    """stream() cannot auto-grow; with device NMS the saturation signal is the
+    pre-NMS flag row — the warning must still fire on a saturated tiny K."""
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec = parse_network_cfg(cfg, batch=1)
+    params = fuse_conv_batchnorm(spec, random_params(spec, seed=2))
+    x = np.random.RandomState(0).rand(
+        1, spec.net.h, spec.net.w, spec.net.c).astype(np.float32)
+    pipe = DetectionPipeline(spec, params, thresh=0.05, nms=0.4, k=16,
+                             device_nms=True)
+    list(pipe.stream([x]))
+    err = capsys.readouterr().err
+    assert "saturated" in err
