@@ -242,3 +242,18 @@ mask=0,1,2
 """)
     with _pytest.raises(ValueError, match="doesn't correspond"):
         parse_network_cfg(str(mismatch))
+
+
+def test_cli_k_flag_reaches_pipeline(tmp_path, monkeypatch):
+    """-k N on the map subcommand must size the candidate buffer."""
+    import yolo2_light_tpu.apps.map as map_app
+    seen = {}
+    def fake_map(*a, **kw):
+        seen.update(kw)
+        return {}
+    monkeypatch.setattr(map_app, "validate_detector_map", fake_map)
+    from yolo2_light_tpu.apps.cli import _main
+    rc = _main(["detector", "map", "d.data", "c.cfg", "w.weights",
+                "-k", "2048", "-batch", "4"])
+    assert rc == 0
+    assert seen["k"] == 2048 and seen["batch"] == 4

@@ -12,6 +12,7 @@ Flags: -thresh F (default .25 like the reference; the shipped scripts pass .24),
 -iou_thresh F, -quantized, -bf16, -dont_show, -letterbox, -out_filename S,
 -save PATH, -c CAM_INDEX, -s FRAME_SKIP (demo), -int8_policy cpu|gpu|cpu_old,
 -device_nms (map/demo: greedy NMS on device, fused into the XLA program),
+-k N (map/demo: candidate-buffer size; raise on saturation warnings),
 -xnor_kernel int8|pallas|pallas_mxu, -batch N (map/demo device batch),
 -parallel N -tp M
 (map sharding), -params_cache DIR (converted-weights cache),
@@ -86,6 +87,7 @@ def _main(argv=None) -> int:
     save_path = _find_value(args, "-save", "predictions")
     int8_policy = _find_value(args, "-int8_policy", "cpu")
     device_nms = _find_flag(args, "-device_nms")
+    topk = _find_value(args, "-k", 0, int)  # candidate-buffer K (map/demo)
     xnor_kernel = _find_value(args, "-xnor_kernel", "int8")
     device_index = _find_value(args, "-i", 0, int)
     if device_index:
@@ -146,6 +148,8 @@ def _main(argv=None) -> int:
         kw = {}
         if batch > 0:
             kw["batch"] = batch
+        if topk > 0:
+            kw["k"] = topk
         validate_detector_map(obj_names, cfg, weights, thresh=thresh,
                               quantized=quantized, iou_thresh=iou_thresh,
                               int8_policy=int8_policy,
@@ -172,7 +176,8 @@ def _main(argv=None) -> int:
              out_filename=out_filename, dont_show=dont_show,
              int8_policy=int8_policy, compute_dtype=compute_dtype,
              prefix=prefix, cam_index=cam_index, frame_skip=frame_skip,
-             batch=batch, params_cache=params_cache, device_nms=device_nms)
+             batch=batch, params_cache=params_cache, device_nms=device_nms,
+             k=topk if topk > 0 else 256)
         return 0
     print(f"Not an option: {sub}", file=sys.stderr)
     return 1
