@@ -114,7 +114,12 @@ class DetectionPipeline:
                 # round in bf16/f16 for larger k)
                 from .post.device_nms import nms_packed
                 score = jnp.max(packed[..., 5:], axis=-1)
-                saturated = jnp.all(score > 0, axis=-1)
+                if packed.shape[1] == k:
+                    saturated = jnp.all(score > 0, axis=-1)
+                else:
+                    # buffer holds EVERY decoded candidate (total N < k):
+                    # all-nonzero is not truncation
+                    saturated = jnp.zeros(packed.shape[0], bool)
                 packed = nms_packed(packed, nms_thresh)
                 extra = jnp.zeros((packed.shape[0], 1, packed.shape[2]),
                                   packed.dtype)
