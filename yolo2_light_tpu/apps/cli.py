@@ -56,12 +56,24 @@ def _enable_compile_cache():
 
 def main(argv=None) -> int:
     _enable_compile_cache()
+    # long-stall hint: first compiles legitimately take minutes through a
+    # remote-compile relay, but a relay outage blocks even device discovery
+    # indefinitely — tell the user which is plausible instead of hanging mute
+    import threading
+    watchdog = threading.Timer(180.0, lambda: print(
+        "note: still working after 3 min — first-run XLA compilation can take "
+        "minutes; if this hangs >10 min the TPU/relay may be unavailable",
+        file=sys.stderr))
+    watchdog.daemon = True
+    watchdog.start()
     try:
         return _main(argv)
     except FileNotFoundError as e:
         # reference: file_error() prints and exits (src/additionally.c:1601-1606)
         print(f"Couldn't open file: {e.filename or e}", file=sys.stderr)
         return 1
+    finally:
+        watchdog.cancel()
 
 
 def _main(argv=None) -> int:
