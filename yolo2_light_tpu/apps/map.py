@@ -77,18 +77,20 @@ def validate_detector_map(datacfg: str, cfgfile: str, weightfile, *,
     netw, neth = spec.net.w, spec.net.h
 
     with ThreadPoolExecutor(max_workers=nthreads) as pool:
-        # bounded prefetch window (2 batches ahead): same loader/compute overlap as
-        # the reference's 4-thread pipeline without holding the whole dataset in RAM
-        window = max(batch * 2, nthreads)
-        futures = {t: pool.submit(_load_one, paths[t], netw, neth)
-                   for t in range(min(window, len(paths)))}
+        # Deliberately SERIAL batch phases (load -> device round trip -> account),
+        # with the pool only parallelizing decodes WITHIN a batch. Overlapping
+        # host loading with in-flight relay transfers looks attractive (the
+        # reference overlaps 4 loader pthreads, src/additionally.c:4584-4628)
+        # but measured catastrophically here: on a 1-core host, concurrent PNG
+        # decodes starve the relay's chunked transfer servicing (a quiet-host
+        # 1.6s batch round trip became 13-30s with loader threads active).
+        # Direct-attached multi-core hosts can overlap via
+        # DetectionPipeline.dispatch/collect.
         i = 0
         while i < len(paths):
             j = min(i + batch, len(paths))
-            for t in range(i, min(i + window, len(paths))):
-                if t not in futures:
-                    futures[t] = pool.submit(_load_one, paths[t], netw, neth)
-            imgs = np.stack([futures.pop(t).result() for t in range(i, j)])
+            imgs = np.stack(list(pool.map(
+                lambda p: _load_one(p, netw, neth), paths[i:j])))
             if pipe.data_parallel > 1 and imgs.shape[0] % pipe.data_parallel:
                 # pad the tail batch to a shardable size; extras are dropped below
                 pad = pipe.data_parallel - imgs.shape[0] % pipe.data_parallel

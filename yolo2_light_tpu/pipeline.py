@@ -148,6 +148,46 @@ class DetectionPipeline:
         """Packed device output [B,K,4+1+classes] — still on device."""
         return self._jitted(self.params, jnp.asarray(images))
 
+    def dispatch(self, images):
+        """Start a batch asynchronously: H2D + enqueue the jitted program.
+        Returns a ticket for :meth:`collect`. Do host work (e.g. load the next
+        batch) BETWEEN dispatch and collect — the device crunches meanwhile,
+        and on a single-core host the collect-side relay transfer must run on
+        a QUIET host or it starves under CPU contention (measured 1.6s -> 41s
+        per 11MB fetch with loader threads active; PERF_NOTES)."""
+        promoted = getattr(self, "_promoted", None)
+        if promoted is not None:
+            return promoted.dispatch(images)
+        return (self, self.raw(images), images)
+
+    def collect(self, ticket, im_sizes=None):
+        """Blocking half of :meth:`dispatch`: one D2H fetch, saturation
+        handling (auto-grow re-run of the kept input batch), host finish."""
+        pipe, raw_dev, images = ticket
+        packed = np.asarray(raw_dev).astype(np.float32)  # one D2H transfer
+        rows = pipe.k + 1 if pipe.device_nms else pipe.k  # +1: flag row
+        if pipe.device_nms:
+            saturated = bool((packed[:, -1, 0] > 0).any())
+        else:
+            saturated = bool(
+                (packed[:, :, 5:].max(axis=-1) > 0).all(axis=-1).any())
+        if packed.shape[1] == rows and pipe.k < 4096 and saturated:
+            import sys
+            new_k = min(4096, pipe.k * 4)
+            print(f"note: candidate buffer K={pipe.k} saturated; re-running "
+                  f"batch with K={new_k} (future batches use the grown buffer)",
+                  file=sys.stderr)
+            grown = pipe._grown(new_k)
+            # promote: saturating workloads shouldn't pay a double forward per batch
+            pipe._promoted = grown
+            return grown(images, im_sizes)
+        netw, neth = pipe.spec.net.w, pipe.spec.net.h
+        out = []
+        for i in range(packed.shape[0]):
+            w, h = im_sizes[i] if im_sizes is not None else (netw, neth)
+            out.append(pipe._finish(packed[i], w, h))
+        return out
+
     def __call__(self, images, im_sizes=None):
         """Full pipeline for a batch. ``im_sizes``: list of (w,h) original image sizes
         for coordinate correction (defaults to net dims). Returns list[Detections]
@@ -156,32 +196,7 @@ class DetectionPipeline:
         If the candidate buffer saturates (all K slots used — detections may have
         been dropped), the batch transparently re-runs with K x4, up to 4096.
         """
-        promoted = getattr(self, "_promoted", None)
-        if promoted is not None:
-            return promoted(images, im_sizes)
-        packed = np.asarray(self.raw(images)).astype(np.float32)  # one D2H transfer
-        rows = self.k + 1 if self.device_nms else self.k  # +1: flag row
-        if self.device_nms:
-            saturated = bool((packed[:, -1, 0] > 0).any())
-        else:
-            saturated = bool(
-                (packed[:, :, 5:].max(axis=-1) > 0).all(axis=-1).any())
-        if packed.shape[1] == rows and self.k < 4096 and saturated:
-            import sys
-            new_k = min(4096, self.k * 4)
-            print(f"note: candidate buffer K={self.k} saturated; re-running "
-                  f"batch with K={new_k} (future batches use the grown buffer)",
-                  file=sys.stderr)
-            grown = self._grown(new_k)
-            # promote: saturating workloads shouldn't pay a double forward per batch
-            self._promoted = grown
-            return grown(images, im_sizes)
-        netw, neth = self.spec.net.w, self.spec.net.h
-        out = []
-        for i in range(packed.shape[0]):
-            w, h = im_sizes[i] if im_sizes is not None else (netw, neth)
-            out.append(self._finish(packed[i], w, h))
-        return out
+        return self.collect(self.dispatch(images), im_sizes)
 
     def _grown(self, new_k: int) -> "DetectionPipeline":
         """A pipeline identical to this one but with a larger candidate buffer
