@@ -61,9 +61,9 @@ def main(argv=None) -> int:
     # indefinitely — tell the user which is plausible instead of hanging mute
     import threading
     watchdog = threading.Timer(180.0, lambda: print(
-        "note: still working after 3 min — first-run XLA compilation can take "
-        "minutes; if this hangs >10 min the TPU/relay may be unavailable",
-        file=sys.stderr))
+        "note: 3 min elapsed — normal for first-run XLA compilation or large "
+        "datasets; if there has been NO other output at all for >10 min, the "
+        "TPU/relay may be unavailable", file=sys.stderr))
     watchdog.daemon = True
     watchdog.start()
     try:
@@ -189,7 +189,7 @@ def _main(argv=None) -> int:
              int8_policy=int8_policy, compute_dtype=compute_dtype,
              prefix=prefix, cam_index=cam_index, frame_skip=frame_skip,
              batch=batch, params_cache=params_cache, device_nms=device_nms,
-             k=topk if topk > 0 else 256)
+             **({"k": topk} if topk > 0 else {}))
         return 0
     print(f"Not an option: {sub}", file=sys.stderr)
     return 1

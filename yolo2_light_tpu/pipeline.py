@@ -181,11 +181,15 @@ class DetectionPipeline:
             # promote: saturating workloads shouldn't pay a double forward per batch
             pipe._promoted = grown
             return grown(images, im_sizes)
-        netw, neth = pipe.spec.net.w, pipe.spec.net.h
+        return pipe._finish_batch(packed, im_sizes)
+
+    def _finish_batch(self, packed: np.ndarray, im_sizes=None):
+        """Per-image host finish over an already-fetched packed batch."""
+        netw, neth = self.spec.net.w, self.spec.net.h
         out = []
         for i in range(packed.shape[0]):
             w, h = im_sizes[i] if im_sizes is not None else (netw, neth)
-            out.append(pipe._finish(packed[i], w, h))
+            out.append(self._finish(packed[i], w, h))
         return out
 
     def __call__(self, images, im_sizes=None):
@@ -230,15 +234,9 @@ class DetectionPipeline:
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        netw, neth = self.spec.net.w, self.spec.net.h
-
         def finish_batch(packed_dev, sizes):
             packed = np.asarray(packed_dev).astype(np.float32)
-            out = []
-            for i in range(packed.shape[0]):
-                w, h = sizes[i] if sizes is not None else (netw, neth)
-                out.append(self._finish(packed[i], w, h))
-            return out
+            return self._finish_batch(packed, sizes)
 
         it = iter(batches)
         sizes_it = iter(im_sizes_iter) if im_sizes_iter is not None else None
