@@ -114,6 +114,19 @@ def main():
         if img_s > best[0]:
             best = (img_s, batch, batch / dt_max, batch / dt_min)
 
+    # Emit the primary metric NOW: the secondary probes below take minutes
+    # through the relay (fresh compiles, per-line median-of-5) and a truncated
+    # run must not lose the driver-facing JSON line.
+    value = round(best[0], 2)
+    print(json.dumps({
+        "metric": "yolov3-416_fp32_img_s",
+        "value": value,                      # median of 5 runs
+        "unit": "img/s",
+        "vs_baseline": round(value / BASELINE_IMG_S, 1),
+        "spread_min": round(best[2], 2),
+        "spread_max": round(best[3], 2),
+    }), flush=True)
+
     # secondary: INT8 streamed e2e (reference CPU semantics, chained activations)
     try:
         from yolo2_light_tpu.quant import quantize_params
@@ -241,17 +254,6 @@ def main():
             f"(min {batch / dt_max:.0f}, max {batch / dt_min:.0f})")
     except Exception as e:
         log(f"device-resident int8 probe failed: {e}")
-
-    value = round(best[0], 2)
-    print(json.dumps({
-        "metric": "yolov3-416_fp32_img_s",
-        "value": value,                      # median of 5 runs
-        "unit": "img/s",
-        "vs_baseline": round(value / BASELINE_IMG_S, 1),
-        "spread_min": round(best[2], 2),
-        "spread_max": round(best[3], 2),
-    }), flush=True)
-
 
 if __name__ == "__main__":
     main()
