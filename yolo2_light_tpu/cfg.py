@@ -168,6 +168,8 @@ class ConvSpec(LayerSpec):
     bin_output: bool = False
     quantized: bool = False     # INT8-eligibility per reference GPU rules
     flipped: int = 0
+    dontload: bool = False        # loader skips this layer's weights entirely
+    dontloadscales: bool = False  # loader skips the BN stats (scales/mean/var)
 
     @property
     def bflops(self) -> float:
@@ -477,6 +479,10 @@ def parse_network_cfg(path: str, batch: int = 0, quantized: bool = False) -> Mod
                 quantized=_conv_quant_eligible(count, activation, stride, size,
                                                quant_state),
                 flipped=s.find_int("flipped", 0),
+                # honored by weights.load_weights/save_weights
+                # (reference: src/additionally.c:3463,3522,4036-4037)
+                dontload=bool(s.find_int("dontload", 0)),
+                dontloadscales=bool(s.find_int("dontloadscales", 0)),
             )
 
         elif lt == "maxpool":

@@ -54,16 +54,40 @@ def load_weights(spec: ModelSpec, path: str, cutoff: Optional[int] = None) -> li
             (seen,) = struct.unpack("<Q", f.read(8))
         else:
             (seen,) = struct.unpack("<I", f.read(4))
+        init_weights = None  # lazily computed construction-time init (dontload)
         for i, l in enumerate(spec.layers):
             if i >= cutoff:
                 break
             if not isinstance(l, ConvSpec):
                 continue
+            if l.dontload:
+                # Reference skips the layer entirely (no bytes consumed,
+                # src/additionally.c:3522) and keeps the construction-time
+                # state: glibc-rand weights, zero biases, BN scales=1/mean=0/
+                # var=0 (src/additionally.c:2746-2752,2797-2800).
+                if init_weights is None:
+                    from .utils.crand import darknet_conv_init
+                    init_weights = darknet_conv_init(spec)
+                entry = {"biases": np.zeros(l.n, np.float32),
+                         "weights": init_weights[i]}
+                if l.batch_normalize:
+                    entry["scales"] = np.ones(l.n, np.float32)
+                    entry["rolling_mean"] = np.zeros(l.n, np.float32)
+                    entry["rolling_variance"] = np.zeros(l.n, np.float32)
+                params[i] = entry
+                continue
             entry = {"biases": _read_f32(f, l.n)}
             if l.batch_normalize:
-                entry["scales"] = _read_f32(f, l.n)
-                entry["rolling_mean"] = _read_f32(f, l.n)
-                entry["rolling_variance"] = _read_f32(f, l.n)
+                if l.dontloadscales:
+                    # BN stats skipped, construction init kept
+                    # (src/additionally.c:3463,2797-2800)
+                    entry["scales"] = np.ones(l.n, np.float32)
+                    entry["rolling_mean"] = np.zeros(l.n, np.float32)
+                    entry["rolling_variance"] = np.zeros(l.n, np.float32)
+                else:
+                    entry["scales"] = _read_f32(f, l.n)
+                    entry["rolling_mean"] = _read_f32(f, l.n)
+                    entry["rolling_variance"] = _read_f32(f, l.n)
             w = _read_f32(f, l.n * l.c * l.size * l.size)
             # darknet OIHW -> HWIO
             entry["weights"] = np.transpose(
@@ -85,9 +109,11 @@ def save_weights(spec: ModelSpec, params: list, path: str,
         for i, l in enumerate(spec.layers):
             if not isinstance(l, ConvSpec) or params[i] is None:
                 continue
+            if l.dontload:
+                continue  # symmetric with load_weights: no bytes for this layer
             p = params[i]
             np.asarray(p["biases"], dtype=np.float32).tofile(f)
-            if l.batch_normalize:
+            if l.batch_normalize and not l.dontloadscales:
                 np.asarray(p["scales"], dtype=np.float32).tofile(f)
                 np.asarray(p["rolling_mean"], dtype=np.float32).tofile(f)
                 np.asarray(p["rolling_variance"], dtype=np.float32).tofile(f)
