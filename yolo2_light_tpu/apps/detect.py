@@ -98,7 +98,9 @@ def detect_image(pred, spec, filename: str, thresh: float, nms: float,
                                   im.shape[1], im.shape[0],
                                   spec.net.w, spec.net.h, thresh,
                                   relative=True, letter=letter)
-    classes = head_specs[-1].classes
+    # reference uses the final layer's classes (0 for a headless net, where
+    # there are no detections and NMS is a no-op; src/main.c:192-228)
+    classes = head_specs[-1].classes if head_specs else 0
     if nms:
         post.do_nms_sort(dets, classes, nms)
     return dets, im, elapsed
@@ -116,7 +118,8 @@ def run(names, cfgfile: str, weightfile, filename, thresh: float = 0.24,
                                  compute_dtype=compute_dtype,
                                  params_cache=params_cache)
     nms = 0.2 if quantized else 0.4  # reference: src/main.c:174,213
-    classes = pred.head_specs()[-1].classes
+    head_specs = pred.head_specs()
+    classes = head_specs[-1].classes if head_specs else 0
     text = ""
     while True:
         fname = filename

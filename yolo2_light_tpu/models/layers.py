@@ -275,12 +275,17 @@ def maxpool(x, size: int, stride: int, pad: int, out_w: int, out_h: int):
 
 def route(outputs: list) -> jax.Array:
     """Channel concat (reference memcpy-concat: src/yolov2_forward_network.c:318-334).
-    All sources must share spatial dims (true for every shipped model)."""
+
+    When sources share spatial dims this is an NHWC channel concat. When they
+    don't, the reference still memcpy-concats the raw CHW buffers into one flat
+    vector (out dims zeroed at parse, src/additionally.c:2461-2466); we
+    reproduce that as a [B, sum(sizes)] flat concat in darknet CHW order. No
+    shipped model hits the flat case, but cfgs may."""
     shapes = {(o.shape[1], o.shape[2]) for o in outputs}
     if len(shapes) != 1:
-        raise NotImplementedError(
-            "route with mismatched spatial dims is not supported (the reference "
-            "flat-concats raw buffers; no shipped model does this)")
+        return jnp.concatenate(
+            [jnp.transpose(o, (0, 3, 1, 2)).reshape(o.shape[0], -1)
+             for o in outputs], axis=1)
     return jnp.concatenate(outputs, axis=-1)
 
 

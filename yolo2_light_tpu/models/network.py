@@ -196,6 +196,10 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
             elif isinstance(l, RouteSpec):
                 t = chain.get(i)
                 srcs = [i8_outputs.get(j) for j in l.layers]
+                if l.out_c == 0:
+                    # degenerate flat concat (mismatched spatial dims) — float
+                    # only; nothing downstream can consume an image anyway
+                    srcs = [None]
                 if t is not None and all(
                         s is not None and s[1] == t for s in srcs):
                     cur_i8 = (jnp.concatenate([s[0] for s in srcs], axis=-1), t)
