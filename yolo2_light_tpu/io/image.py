@@ -129,6 +129,53 @@ def draw_box_width(im: np.ndarray, left: int, top: int, right: int, bot: int,
         im[t:bb + 1, rr] = (r, g, b)
 
 
+def draw_detections_cv(im: np.ndarray, dets, names, thresh: float,
+                       classes: int) -> None:
+    """Video-frame drawing with class-name label text per box, in place
+    (reference: draw_detections_cv_v3, src/main.c:274-357).
+
+    Per detection: labelstr comma-joins every class above thresh; the box color
+    comes from the FIRST class above thresh (unlike the image path's best
+    class); a filled label background spans (left, top-(10+25*font_size)) ..
+    (right, top) with black text at (left, top-12), font_size = h/1000.
+    Text rendering uses PIL's bitmap font instead of Hershey vectors.
+    """
+    from PIL import Image, ImageDraw
+
+    h, w = im.shape[:2]
+    width = max(1, int(h * 0.006))  # reference truncates; floor 1 keeps boxes
+    font_size = h / 1000.0          # visible on frames under ~170px tall
+    overlays = []
+    for i in range(dets.n):
+        parts = []
+        class_id = -1
+        for j in range(classes):
+            if dets.prob[i, j] > thresh:
+                if class_id < 0:
+                    class_id = j
+                parts.append(names[j])
+        if class_id < 0:
+            continue
+        offset = class_id * 123457 % classes
+        rgb = (get_color(2, offset, classes), get_color(1, offset, classes),
+               get_color(0, offset, classes))
+        x, y, bw, bh = dets.bbox[i]
+        left = max(int((x - bw / 2) * w), 0)
+        right = min(int((x + bw / 2) * w), w - 1)
+        top = max(int((y - bh / 2) * h), 0)
+        bot = min(int((y + bh / 2) * h), h - 1)
+        draw_box_width(im, left, top, right, bot, width, *rgb)
+        bg_top = max(0, int(top - (10 + 25 * font_size)))
+        im[bg_top:top + 1, left:right + 1] = rgb  # filled label background
+        overlays.append((left, max(bg_top, top - 12), ", ".join(parts)))
+    if overlays:
+        pil = Image.fromarray((np.clip(im, 0.0, 1.0) * 255).astype(np.uint8))
+        d = ImageDraw.Draw(pil)
+        for tx, ty, s in overlays:
+            d.text((tx, ty), s, fill=(0, 0, 0))
+        im[:] = np.asarray(pil, dtype=np.float32) / 255.0
+
+
 def draw_detections(im: np.ndarray, dets, names, thresh: float, classes: int) -> None:
     """Draw surviving detections on the image in place
     (reference: draw_detections_v3 image-output part, src/main.c:105-148)."""
