@@ -14,7 +14,8 @@ Flags: -thresh F (default .25 like the reference; the shipped scripts pass .24),
 -device_nms (map/demo: greedy NMS on device, fused into the XLA program),
 -k N (map/demo: candidate-buffer size; raise on saturation warnings),
 -xnor_kernel int8|pallas|pallas_mxu, -batch N (map/demo device batch),
--parallel N -tp M
+-uint8_ingest / -no_uint8_ingest (demo: force/disable uint8 frame shipping
+independently of compute dtype), -parallel N -tp M
 (map sharding), -params_cache DIR (converted-weights cache),
 -input_calibration N / -calib_method device|host (calibrate), -profile DIR, -i N.
 """
@@ -54,17 +55,48 @@ def _enable_compile_cache():
         pass
 
 
+class _TrackedStream:
+    """Transparent stream wrapper recording the last write time (shared by the
+    stall watchdog, so steady progress output suppresses the hint)."""
+
+    def __init__(self, stream, state):
+        self._stream = stream
+        self._state = state
+
+    def write(self, data):
+        import time
+        self._state["last"] = time.monotonic()
+        return self._stream.write(data)
+
+    def __getattr__(self, name):
+        return getattr(self._stream, name)
+
+
 def main(argv=None) -> int:
     _enable_compile_cache()
     # long-stall hint: first compiles legitimately take minutes through a
     # remote-compile relay, but a relay outage blocks even device discovery
-    # indefinitely — tell the user which is plausible instead of hanging mute
+    # indefinitely — tell the user which is plausible instead of hanging mute.
+    # The hint only fires after 3 min of SILENCE (any stdout/stderr output
+    # resets the window), so long-but-chatty runs (large map evals) stay clean.
     import threading
-    watchdog = threading.Timer(180.0, lambda: print(
-        "note: 3 min elapsed — normal for first-run XLA compilation or large "
-        "datasets; if there has been NO other output at all for >10 min, the "
-        "TPU/relay may be unavailable", file=sys.stderr))
-    watchdog.daemon = True
+    import time
+    state = {"last": time.monotonic()}
+    stop = threading.Event()
+
+    def _watch():
+        while not stop.wait(15.0):
+            if time.monotonic() - state["last"] >= 180.0:
+                print(
+                    "note: 3 min without output — normal for first-run XLA "
+                    "compilation; if this persists >10 min, the TPU/relay may "
+                    "be unavailable", file=sys.__stderr__)
+                return
+
+    out, err = sys.stdout, sys.stderr
+    sys.stdout = _TrackedStream(out, state)
+    sys.stderr = _TrackedStream(err, state)
+    watchdog = threading.Thread(target=_watch, daemon=True)
     watchdog.start()
     try:
         return _main(argv)
@@ -73,7 +105,8 @@ def main(argv=None) -> int:
         print(f"Couldn't open file: {e.filename or e}", file=sys.stderr)
         return 1
     finally:
-        watchdog.cancel()
+        stop.set()
+        sys.stdout, sys.stderr = out, err
 
 
 def _main(argv=None) -> int:
@@ -99,6 +132,12 @@ def _main(argv=None) -> int:
     save_path = _find_value(args, "-save", "predictions")
     int8_policy = _find_value(args, "-int8_policy", "cpu")
     device_nms = _find_flag(args, "-device_nms")
+    # demo ingest precision override (default: uint8 under bf16, float otherwise)
+    uint8_ingest = None
+    if _find_flag(args, "-uint8_ingest"):
+        uint8_ingest = True
+    if _find_flag(args, "-no_uint8_ingest"):
+        uint8_ingest = False
     topk = _find_value(args, "-k", 0, int)  # candidate-buffer K (map/demo)
     xnor_kernel = _find_value(args, "-xnor_kernel", "int8")
     device_index = _find_value(args, "-i", 0, int)
@@ -175,6 +214,13 @@ def _main(argv=None) -> int:
         if bf16:
             print("note: calibrate always runs fp32 (calibration statistics are "
                   "precision-sensitive); -bf16 ignored", file=sys.stderr)
+        if calib_method == "device":
+            # the vectorized device sweep can land one threshold bin off the
+            # reference's serial accumulation (~0.03% multiplier deviation);
+            # the host method is the bit-exact oracle path (quant.py docs)
+            print("note: -calib_method device (default) is fast but may differ "
+                  "from the reference by one threshold bin; use -calib_method "
+                  "host for bit-exact calibration", file=sys.stderr)
         from .calibrate import validate_calibrate
         validate_calibrate(obj_names, cfg, weights,
                            input_calibration=input_calibration,
@@ -189,6 +235,7 @@ def _main(argv=None) -> int:
              int8_policy=int8_policy, compute_dtype=compute_dtype,
              prefix=prefix, cam_index=cam_index, frame_skip=frame_skip,
              batch=batch, params_cache=params_cache, device_nms=device_nms,
+             uint8_ingest=uint8_ingest,
              **({"k": topk} if topk > 0 else {}))
         return 0
     print(f"Not an option: {sub}", file=sys.stderr)

@@ -62,7 +62,7 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
          cam_index: int = 0, int8_policy: str = "cpu", max_frames=None,
          compute_dtype=None, prefix=None, frame_skip: int = 0,
          batch: int = 0, params_cache=None, device_nms: bool = False,
-         k: int = 256) -> int:
+         k: int = 256, uint8_ingest=None) -> int:
     """Returns number of frames processed. Dense convs default to bf16 on the MXU
     (real-time video favors speed; non-quantized frames then also ship as
     uint8 — 4x fewer H2D bytes at <=1/510 per-pixel ingest error); pass
@@ -100,8 +100,11 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
     q: queue.Queue = queue.Queue(maxsize=2 * batch + 2)
     stop = threading.Event()
     # quantized runs keep float ingest: the int8 path's input quantization is
-    # otherwise bit-exact and uint8 pre-rounding would perturb it
-    uint8_ingest = cd == jnp.bfloat16 and not quantized
+    # otherwise bit-exact and uint8 pre-rounding would perturb it. An explicit
+    # uint8_ingest=True/False (CLI -uint8_ingest/-no_uint8_ingest) overrides,
+    # decoupling ingest precision from compute dtype.
+    if uint8_ingest is None:
+        uint8_ingest = cd == jnp.bfloat16 and not quantized
     t = threading.Thread(target=_frames,
                          args=(cap, spec.net.w, spec.net.h, q, stop,
                                uint8_ingest), daemon=True)
@@ -157,16 +160,24 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
                 # only ADVANCES when delay hits 0; gated iterations reuse it.
                 # The first frame primes it regardless (the reference detects
                 # and assigns disp/show_img before the loop, main.c:496-504),
-                # so -prefix output starts at count 1 like the oracle's
+                # so -prefix output starts at count 1 like the oracle's.
+                # Cadence matches the reference (one fresh frame per
+                # frame_skip+1 counts); PHASE intentionally differs by one:
+                # the reference writes disp before reassigning it, so its
+                # fresh frame first shows the iteration AFTER the advance —
+                # we drop that pipeline-buffering lag and show it at the
+                # advance itself (main.c:538-548)
                 if delay == 0 or last_bgr is None:
-                    im_io.draw_detections(rgb, dets, names, thresh, classes)
+                    # video path draws class-name label text like the
+                    # reference's draw_detections_cv_v3 (src/main.c:274-357)
+                    im_io.draw_detections_cv(rgb, dets, names, thresh, classes)
                     last_bgr = cv2.cvtColor(
                         (np.clip(rgb, 0, 1) * 255).astype(np.uint8),
                         cv2.COLOR_RGB2BGR)
                     if writer is not None:
                         # writer cadence: one frame per (frame_skip+1) source
-                        # frames — the reference's show_img is freshly assigned
-                        # (non-NULL) on exactly these iterations (main.c:544-548)
+                        # frames, same as the reference's non-NULL show_img
+                        # writes — phase one iteration earlier (see above)
                         writer.write(last_bgr)
                     if not prefix and not dont_show:
                         cv2.imshow("Demo", last_bgr)

@@ -113,6 +113,11 @@ class DetectionPipeline:
                 # any packed_dtype exactly, unlike a raw count, which would
                 # round in bf16/f16 for larger k)
                 from .post.device_nms import nms_packed
+                if packed_dtype != packed.dtype:
+                    # host-path parity: host NMS sees post-D2H packed_dtype
+                    # values, so round through packed_dtype before suppressing
+                    # to keep both paths picking the same suppression set
+                    packed = packed.astype(packed_dtype).astype(packed.dtype)
                 score = jnp.max(packed[..., 5:], axis=-1)
                 if packed.shape[1] == k:
                     saturated = jnp.all(score > 0, axis=-1)
