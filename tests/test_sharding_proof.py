@@ -1,0 +1,132 @@
+"""Tensor/data-parallel programs must actually SHARD, not silently replicate.
+
+test_parallel.py proves sharded == unsharded *values*; these tests inspect the
+SPMD-partitioned executable itself (per-device HLO shapes, per-device parameter
+bytes, collective inventory) so a GSPMD regression that replicates everything
+fails loudly. See SHARDING.md for the measured inventory.
+"""
+
+import os
+import re
+from collections import Counter
+
+import numpy as np
+import pytest
+
+import jax
+
+from yolo2_light_tpu.cfg import ConvSpec, parse_network_cfg
+from yolo2_light_tpu.parallel.mesh import make_mesh, make_sharded_predict
+from yolo2_light_tpu.weights import fuse_conv_batchnorm, random_params
+
+needs8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+COLLECTIVES = ("all-gather", "all-reduce", "collective-permute", "all-to-all",
+               "reduce-scatter")
+
+
+def _tiny128(tmp_path):
+    src = "/root/reference/bin/yolov3-tiny.cfg"
+    text = open(src).read().replace("width=416", "width=128").replace(
+        "height=416", "height=128")
+    p = tmp_path / "tiny128.cfg"
+    p.write_text(text)
+    return str(p)
+
+
+def _compiled(cfg, data, model, batch):
+    spec = parse_network_cfg(cfg, batch=batch)
+    params = fuse_conv_batchnorm(spec, random_params(spec, seed=2))
+    mesh = make_mesh(8, data=data, model=model)
+    fn, sharded = make_sharded_predict(spec, params, mesh)
+    x = np.zeros((batch, spec.net.h, spec.net.w, 3), np.float32)
+    compiled = fn.lower(sharded, x).compile()
+    return spec, sharded, compiled, compiled.as_text()
+
+
+def _conv_shapes(hlo_text):
+    """Output shapes of convolution ops in the (per-device) SPMD module."""
+    shapes = []
+    for m in re.finditer(r"= f32\[(\d+),(\d+),(\d+),(\d+)\]\S* convolution\(",
+                         hlo_text):
+        shapes.append(tuple(int(g) for g in m.groups()))
+    return shapes
+
+
+def _dot_shapes(hlo_text):
+    """1x1 convs lower as dots over flattened spatial dims: [oh*ow, out_c]."""
+    return [tuple(int(g) for g in m.groups()) for m in
+            re.finditer(r"= f32\[(\d+),(\d+)\]\S* dot\(", hlo_text)]
+
+
+@needs8
+def test_tp4_conv_compute_is_sharded(tmp_path):
+    """Every tp-divisible conv must appear in the per-device HLO with
+    out_channels/tp (and batch/dp) — full-size shapes would mean GSPMD
+    replicated the compute."""
+    spec, _, _, text = _compiled(_tiny128(tmp_path), data=2, model=4, batch=2)
+    shapes = set(_conv_shapes(text))
+    dots = set(_dot_shapes(text))
+    missing = []
+    for l in spec.layers:
+        if not isinstance(l, ConvSpec) or l.n % 4 != 0:
+            continue
+        want = (1, l.out_h, l.out_w, l.n // 4)  # batch 2/dp2, channels n/tp4
+        want_dot = (l.out_h * l.out_w, l.n // 4)  # 1x1 convs lower as dots
+        if want not in shapes and want_dot not in dots:
+            missing.append((l.index, want))
+    assert not missing, (
+        f"convs missing per-device-sharded shapes {missing}; HLO conv shapes "
+        f"= {sorted(shapes)}, dot shapes = {sorted(dots)}")
+    # and no conv computes at the FULL batch (dp ignored)
+    assert not any(s[0] == 2 for s in shapes), shapes
+
+
+@needs8
+def test_tp4_weights_stay_sharded(tmp_path):
+    """Per-device parameter bytes must be ~total/tp for the divisible convs
+    (weights resident sharded, not replicated)."""
+    spec, sharded, compiled, _ = _compiled(_tiny128(tmp_path), data=2, model=4,
+                                           batch=2)
+    total = sharded_bytes = replicated_bytes = 0
+    for l in spec.layers:
+        if not isinstance(l, ConvSpec):
+            continue
+        p = sharded[l.index]
+        for k, v in p.items():
+            full = int(np.prod(v.shape)) * v.dtype.itemsize
+            per_dev = v.addressable_shards[0].data.nbytes
+            total += full
+            if l.n % 4 == 0 and v.shape[-1] % 4 == 0:
+                assert per_dev * 4 == full, (l.index, k, per_dev, full)
+                sharded_bytes += full
+            else:
+                replicated_bytes += full
+    # yolov3-tiny at tp=4: everything but the two 255-filter head convs shards
+    frac = sharded_bytes / total
+    assert frac > 0.95, f"only {frac:.1%} of parameter bytes sharded"
+
+
+@needs8
+def test_tp4_collective_inventory(tmp_path):
+    """The dpxtp program needs collectives (activation gathers / head
+    reassembly) — zero would mean no sharding crosses device boundaries — but
+    the count must stay bounded (~O(#convs)), not explode."""
+    spec, _, _, text = _compiled(_tiny128(tmp_path), data=2, model=4, batch=2)
+    counts = Counter({op: text.count(op) for op in COLLECTIVES})
+    n_convs = sum(isinstance(l, ConvSpec) for l in spec.layers)
+    total = sum(counts.values())
+    assert total > 0, "no collectives: nothing is sharded"
+    # bound: a few per conv (gather + layout all-to-alls), not quadratic
+    assert total <= 6 * n_convs, (counts, n_convs)
+
+
+@needs8
+def test_dp8_pure_data_parallel_no_collectives(tmp_path):
+    """dp=8/tp=1 is embarrassingly parallel: per-device batch must be B/8 and
+    the program must contain NO collectives at all."""
+    spec, _, _, text = _compiled(_tiny128(tmp_path), data=8, model=1, batch=8)
+    for op in COLLECTIVES:
+        assert text.count(op) == 0, f"unexpected {op} in dp-only program"
+    shapes = _conv_shapes(text)
+    assert shapes and all(s[0] == 1 for s in shapes), shapes
