@@ -107,7 +107,8 @@ def _quantize_i8(x, mult):
 
 def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cpu",
                   compute_dtype=jnp.float32, capture_conv_inputs: bool = False,
-                  xnor_impl: str = "int8", int8_chain: bool = False):
+                  xnor_impl: str = "int8", int8_chain: bool = False,
+                  int8_impl: str = "xla"):
     """Return ``forward(params, x)`` for the given spec.
 
     ``x``: [B, H, W, C] float32, NHWC, values in [0,1] (darknet image convention).
@@ -170,11 +171,24 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
                 elif i in int8_set:
                     xi8 = (cur_i8[0] if cur_i8 is not None and cur_i8[1] == i
                            else None)
-                    cur = L.conv2d_int8(
-                        cur, p["weights_int8"], p["biases"], l.stride, l.pad,
-                        l.activation, p["input_quant_multipler"],
-                        p["weights_quant_multipler"], semantics=int8_policy,
-                        x_int8=xi8)
+                    if (int8_impl == "pallas" and int8_policy == "cpu"
+                            and l.size == 3 and l.stride == 1 and l.pad == 1
+                            and l.activation in ("leaky", "linear")):
+                        from ..ops.pallas_int8 import conv3x3_int8_tiled
+                        if xi8 is None:
+                            xi8 = _quantize_i8(
+                                cur, p["input_quant_multipler"])
+                        cur = conv3x3_int8_tiled(
+                            xi8, p["weights_int8"], p["biases"],
+                            p["input_quant_multipler"],
+                            p["weights_quant_multipler"],
+                            activation=l.activation)
+                    else:
+                        cur = L.conv2d_int8(
+                            cur, p["weights_int8"], p["biases"], l.stride,
+                            l.pad, l.activation, p["input_quant_multipler"],
+                            p["weights_quant_multipler"],
+                            semantics=int8_policy, x_int8=xi8)
                     cur_i8 = emit_i8(i, cur)
                 else:
                     bn = None
@@ -223,6 +237,11 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
                     cur_i8 = None
                 cur = L.upsample(cur, l.stride, l.scale)
             elif isinstance(l, ShortcutSpec):
+                # no producer-side int8 emit here: measured a no-op (0.421 vs
+                # 0.422 ms/img) — XLA already fuses the downstream conv's
+                # consumer-side quantize into the shortcut epilogue, so the
+                # conv reads 1-byte activations either way (PERF_NOTES.md
+                # round 3)
                 cur_i8 = None
                 cur = L.shortcut(cur, outputs[l.from_index], l.activation)
             elif isinstance(l, YoloSpec):

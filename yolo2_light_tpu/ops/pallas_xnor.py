@@ -25,8 +25,20 @@ on the v5e):
 
 * dense +-1 int8 MXU (models/layers.conv2d_xnor, `-xnor_kernel int8`): 0.48 ms —
   fastest, but weights stored as int8 (8x the bits).
-* popcount VPU kernel here (`-xnor_kernel pallas`): 1.1 ms — the faithful
+* popcount VPU kernel here (`-xnor_kernel pallas`): 0.91 ms — the faithful
   reference formulation (XOR + popcount over bit lanes), 32x packed weights.
+  This is the VPU issue-rate limit for the formulation, not a scheduling gap:
+  per filter the tile does xor+not+popcount over [TN, F] (3 ops x TN*F/1024
+  vregs) plus a 7-step cross-lane reduction per vreg row — ~41k vector ops
+  per [128, 256] tile, x22 tiles at ~1 vector op/cycle/940MHz ~= 0.96 ms,
+  matching the measurement. A popcount contraction cannot ride the MXU
+  directly, but hamming distance decomposes as |a| + |b| - 2*(a.b) over
+  unpacked bits — which is exactly the `pallas_mxu` engine below. That makes
+  the MXU engine the *derived optimum* for bit-packed weights, and the
+  popcount engine the capability-parity twin of the reference's AVX/warp
+  popcount GEMMs (kept because it is the faithful formulation, and its
+  round-3 one-hot accumulation rewrite — full-tile store instead of width-1
+  lane stores — already recovered 16% over round 2's 1.08 ms).
 * bit-packed MXU kernel here (`-xnor_kernel pallas_mxu`): 0.61 ms — weights stay
   bit-packed in HBM; each tile unpacks to +-1 int8 in VMEM and contracts on the
   MXU (the TPU analog of the CUDA binary tensor-core kernel, gpu.cu:1815-2002).
@@ -118,20 +130,27 @@ def _xnor_kernel(a_ref, b_ref, mean_ref, bias_ref, out_ref, *,
     """Blocks: a [TM, F] int32 bits (TM<=128 filters on sublanes, F bit-features on
     lanes), b [TN, F] int32 bits (TN output pixels on sublanes), mean/bias [1, TM]
     f32, out [TN, TM] f32. For each filter m (static unroll over TM — Mosaic
-    handles static sublane row loads and width-1 static lane STORES, but not lane
-    loads or dynamic lane indexing): cnt = popcount-match over all F*32 bits;
-    out[:, m] = (2*cnt - adjust)*mean[m] + bias[m], optional fused leaky
+    handles static sublane row loads but not lane loads or dynamic lane
+    indexing): cnt = popcount-match over all F*32 bits. Per-filter results
+    accumulate into a full [TN, TM] register tile via a one-hot multiply-add
+    (round-2's width-1 lane stores serialized the whole pass; one full-tile
+    store at the end measures 0.91 vs 1.08 ms on the bench_xnor.py probe —
+    the remainder is the VPU issue-rate floor, see module docstring). Epilogue
+    (2*cnt - adjust)*mean + bias + optional leaky is applied tile-wide once
     (reference epilogue: src/gpu.cu:1725-1737)."""
     b_bits = b_ref[:]                                  # [TN, F]
+    lane = lax.broadcasted_iota(jnp.int32, (1, tm), 1)
+    acc = jnp.zeros((b_bits.shape[0], tm), jnp.float32)
     for m in range(tm):
         a_row = a_ref[m:m + 1, :]                      # [1, F] static sublane row
         xnor = jnp.bitwise_not(jnp.bitwise_xor(a_row, b_bits))
         cnt = jnp.sum(lax.population_count(xnor), axis=1,
                       keepdims=True).astype(jnp.float32)     # [TN, 1]
-        y = (2.0 * cnt - adjust) * mean_ref[0, m] + bias_ref[0, m]
-        if leaky:
-            y = jnp.where(y > 0, y, 0.1 * y)
-        out_ref[:, m:m + 1] = y
+        acc = acc + cnt * (lane == m).astype(jnp.float32)    # one-hot lane m
+    y = (2.0 * acc - adjust) * mean_ref[0, :] + bias_ref[0, :]
+    if leaky:
+        y = jnp.where(y > 0, y, 0.1 * y)
+    out_ref[:] = y
 
 
 def xnor_gemm(packed_w, mean, bias, patches, k_real: int, *,
