@@ -17,7 +17,12 @@ Flags: -thresh F (default .25 like the reference; the shipped scripts pass .24),
 -uint8_ingest / -no_uint8_ingest (demo: force/disable uint8 frame shipping
 independently of compute dtype), -parallel N -tp M
 (map sharding), -params_cache DIR (converted-weights cache),
--input_calibration N / -calib_method device|host (calibrate), -profile DIR, -i N.
+-input_calibration N / -calib_method device|host (calibrate), -profile DIR, -i N,
+-turbo (TPU-native extension: materialize inter-layer activations as bf16 —
+all conv/epilogue math stays f32 in-register; measured 0.420 -> 0.393 ms/img
+int8 and 0.588 -> 0.506 bf16 device-resident. NOT reference-exact: values at
+an int8 quantization-bin boundary can flip one bin, like -calib_method
+device; see PERF_NOTES.md round 3).
 """
 
 from __future__ import annotations
@@ -121,6 +126,7 @@ def _main(argv=None) -> int:
 
     dont_show = _find_flag(args, "-dont_show")
     bf16 = _find_flag(args, "-bf16")
+    turbo = _find_flag(args, "-turbo")
     quantized = _find_flag(args, "-quantized")
     letterbox = _find_flag(args, "-letterbox")
     thresh = _find_value(args, "-thresh", 0.25, float)
@@ -187,12 +193,14 @@ def _main(argv=None) -> int:
                     quantized=quantized, dont_show=dont_show,
                     int8_policy=int8_policy, save_path=save_path,
                     letter=letterbox, xnor_impl=xnor_kernel,
-                    compute_dtype=compute_dtype, params_cache=params_cache)
+                    compute_dtype=compute_dtype, params_cache=params_cache,
+                    turbo=turbo)
         else:
             run(names, cfg, weights, filename, thresh=thresh, quantized=quantized,
                 dont_show=dont_show, int8_policy=int8_policy, save_path=save_path,
                 letter=letterbox, xnor_impl=xnor_kernel,
-                compute_dtype=compute_dtype, params_cache=params_cache)
+                compute_dtype=compute_dtype, params_cache=params_cache,
+                turbo=turbo)
         return 0
     elif sub == "map":
         from .map import validate_detector_map
@@ -208,7 +216,7 @@ def _main(argv=None) -> int:
                               tensor_parallel=tensor_parallel,
                               compute_dtype=compute_dtype,
                               params_cache=params_cache,
-                              device_nms=device_nms, **kw)
+                              device_nms=device_nms, turbo=turbo, **kw)
         return 0
     elif sub == "calibrate":
         if bf16:
@@ -235,7 +243,7 @@ def _main(argv=None) -> int:
              int8_policy=int8_policy, compute_dtype=compute_dtype,
              prefix=prefix, cam_index=cam_index, frame_skip=frame_skip,
              batch=batch, params_cache=params_cache, device_nms=device_nms,
-             uint8_ingest=uint8_ingest,
+             uint8_ingest=uint8_ingest, turbo=turbo,
              **({"k": topk} if topk > 0 else {}))
         return 0
     print(f"Not an option: {sub}", file=sys.stderr)

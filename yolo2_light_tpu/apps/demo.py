@@ -62,7 +62,7 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
          cam_index: int = 0, int8_policy: str = "cpu", max_frames=None,
          compute_dtype=None, prefix=None, frame_skip: int = 0,
          batch: int = 0, params_cache=None, device_nms: bool = False,
-         k: int = 256, uint8_ingest=None) -> int:
+         k: int = 256, uint8_ingest=None, turbo: bool = False) -> int:
     """Returns number of frames processed. Dense convs default to bf16 on the MXU
     (real-time video favors speed; non-quantized frames then also ship as
     uint8 — 4x fewer H2D bytes at <=1/510 per-pixel ingest error); pass
@@ -78,7 +78,8 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
     cd = compute_dtype if compute_dtype is not None else jnp.bfloat16
     pipe = DetectionPipeline(spec, params, mode, thresh=thresh, nms=nms,
                              int8_policy=int8_policy, k=k,
-                             compute_dtype=cd, device_nms=device_nms)
+                             compute_dtype=cd, device_nms=device_nms,
+                             turbo=turbo)
     classes = pipe.classes
     if batch <= 0:
         batch = 4 if filename else 1

@@ -36,7 +36,8 @@ def validate_detector_map(datacfg: str, cfgfile: str, weightfile, *,
                           data_parallel: int = 0,
                           tensor_parallel: int = 0,
                           params_cache=None,
-                          device_nms: bool = False) -> dict:
+                          device_nms: bool = False,
+                          turbo: bool = False) -> dict:
     import jax.numpy as jnp
 
     options = read_data_cfg(datacfg)
@@ -61,7 +62,7 @@ def validate_detector_map(datacfg: str, cfgfile: str, weightfile, *,
     pipe = DetectionPipeline(spec, params, mode,
                              thresh=0.005, nms=0.45, k=k,
                              int8_policy=int8_policy, compute_dtype=cd,
-                             mesh=mesh, device_nms=device_nms)
+                             mesh=mesh, device_nms=device_nms, turbo=turbo)
     classes = pipe.classes
 
     with open(valid_images) as f:

@@ -116,7 +116,7 @@ def conv2d_fp32(x, weights, biases, stride: int, pad: int, activation: str,
 
 def conv2d_int8(x, weights_int8, biases, stride: int, pad: int, activation: str,
                 input_mult: float, weights_mult: float, r_mult: int = 32,
-                semantics: str = "cpu", x_int8=None):
+                semantics: str = "cpu", x_int8=None, out_dtype=None):
     """INT8 conv path, in either of the reference's two flavors.
 
     ``semantics="cpu"`` (reference: forward_convolutional_layer_q,
@@ -146,17 +146,21 @@ def conv2d_int8(x, weights_int8, biases, stride: int, pad: int, activation: str,
         dimension_numbers=_DIMNUMS, preferred_element_type=jnp.int32)
     if semantics == "gpu":
         y = acc.astype(jnp.float32) * (1.0 / (input_mult * weights_mult)) + biases
-        return activate(y, activation)
+        y = activate(y, activation)
+        return y if out_dtype is None else y.astype(out_dtype)
     # C integer division truncates toward zero; R_MULT is a power of two
     q = _trunc_div_pow2(acc, r_mult)
     q = jnp.clip(q, -(256 * 128 - 1), 256 * 128 - 1)
     alpha1 = r_mult / (input_mult * weights_mult)
     y = q.astype(jnp.float32) * alpha1 + biases
     if activation == "leaky":
-        return jnp.where(y > 0, y, y / 10.0)
-    if activation == "linear":
-        return y
-    return activate(y, activation)
+        y = jnp.where(y > 0, y, y / 10.0)
+    elif activation != "linear":
+        y = activate(y, activation)
+    # out_dtype (turbo mode): the epilogue math stays f32 in-register; only the
+    # MATERIALIZED tensor narrows (halves the HBM traffic the residual trunk
+    # is bound by — PERF_NOTES.md round 3). None = exact f32 storage.
+    return y if out_dtype is None else y.astype(out_dtype)
 
 
 def conv2d_xnor(x, sign_weights_int8, mean_arr, biases, stride: int, pad: int,

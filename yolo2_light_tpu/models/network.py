@@ -108,7 +108,7 @@ def _quantize_i8(x, mult):
 def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cpu",
                   compute_dtype=jnp.float32, capture_conv_inputs: bool = False,
                   xnor_impl: str = "int8", int8_chain: bool = False,
-                  int8_impl: str = "xla"):
+                  int8_impl: str = "xla", residual_dtype=None):
     """Return ``forward(params, x)`` for the given spec.
 
     ``x``: [B, H, W, C] float32, NHWC, values in [0,1] (darknet image convention).
@@ -119,6 +119,15 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
     Returns ``(heads, aux)`` where ``heads`` is a tuple of HeadOutput and ``aux`` is a
     dict (contains ``conv_inputs`` list when ``capture_conv_inputs``; and ``final`` =
     last layer output).
+
+    ``residual_dtype`` (turbo mode, TPU-native extension — NOT a reference
+    semantics): when set (jnp.bfloat16), inter-layer activations are
+    MATERIALIZED in that dtype while all conv/epilogue math stays f32
+    in-register. bench_stages.py attributes 34% of int8 yolov3 runtime to the
+    bandwidth-bound early stages whose f32 residual tensors bit-exact
+    semantics requires; turbo halves that traffic for a bounded precision
+    change (<= 1 bf16 ulp per materialized tensor, ~2-3 decimal digits kept).
+    Head inputs are upcast back to f32 so decode math is unchanged.
     """
     if mode == "int8" and int8_policy == "cpu_old":
         return build_forward_int8_old(spec)
@@ -188,7 +197,8 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
                             cur, p["weights_int8"], p["biases"], l.stride,
                             l.pad, l.activation, p["input_quant_multipler"],
                             p["weights_quant_multipler"],
-                            semantics=int8_policy, x_int8=xi8)
+                            semantics=int8_policy, x_int8=xi8,
+                            out_dtype=residual_dtype)
                     cur_i8 = emit_i8(i, cur)
                 else:
                     bn = None
@@ -197,6 +207,8 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
                     cur = L.conv2d_fp32(cur, p["weights"], p["biases"], l.stride,
                                         l.pad, l.activation, bn=bn,
                                         compute_dtype=compute_dtype)
+                    if residual_dtype is not None:
+                        cur = cur.astype(residual_dtype)
                     cur_i8 = emit_i8(i, cur)
             elif isinstance(l, MaxpoolSpec):
                 # quantize commutes with max -> pool the int8 chain directly
@@ -246,6 +258,8 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
                 cur = L.shortcut(cur, outputs[l.from_index], l.activation)
             elif isinstance(l, YoloSpec):
                 cur_i8 = None
+                if residual_dtype is not None:
+                    cur = cur.astype(jnp.float32)   # head math stays f32
                 b, h, w, _ = cur.shape
                 y = L.yolo_head(cur, l.n, l.classes)
                 cur = y
@@ -253,6 +267,8 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
                                         y.reshape(b, h, w, l.n, 5 + l.classes)))
             elif isinstance(l, RegionSpec):
                 cur_i8 = None
+                if residual_dtype is not None:
+                    cur = cur.astype(jnp.float32)   # head math stays f32
                 tree_groups = None
                 if l.softmax_tree is not None:
                     from ..tree import softmax_groups
@@ -264,6 +280,8 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
                 heads.append(HeadOutput(i, "region", y5))
             elif isinstance(l, SoftmaxSpec):
                 cur_i8 = None
+                if residual_dtype is not None:
+                    cur = cur.astype(jnp.float32)   # head math stays f32
                 sm_groups = None
                 if l.softmax_tree is not None:
                     from ..tree import softmax_groups
@@ -363,13 +381,15 @@ class Predictor:
 
     def __init__(self, spec: ModelSpec, params: list, mode: str = "fp32", *,
                  int8_policy: str = "cpu", compute_dtype=jnp.float32,
-                 xnor_impl: str = "int8", int8_chain: bool = True):
+                 xnor_impl: str = "int8", int8_chain: bool = True,
+                 turbo: bool = False):
         self.spec = spec
         self.mode = mode
         self.params = params_to_device(params)
         fwd = build_forward(spec, mode, int8_policy=int8_policy,
                             compute_dtype=compute_dtype, xnor_impl=xnor_impl,
-                            int8_chain=int8_chain)
+                            int8_chain=int8_chain,
+                            residual_dtype=jnp.bfloat16 if turbo else None)
         # jit only carries arrays; head metadata (index/kind) is static and reattached
         self._head_meta = [(l.index, "yolo" if isinstance(l, YoloSpec) else "region")
                            for l in spec.layers
