@@ -170,6 +170,21 @@ def main():
         f"{ms:.3f} ms/img -> {value:.0f} img/s "
         f"(spread {ms_min:.3f}-{ms_max:.3f})")
 
+    # --- parsed secondary: turbo (bf16-materialized activations, f32 math) --
+    try:
+        tms, tms_min, tms_max = device_resident_ms_img(
+            spec, quantize_params(spec, params), "int8", int8_policy="cpu",
+            int8_chain=True, compute_dtype=jnp.bfloat16,
+            residual_dtype=jnp.bfloat16)
+        extra["int8_turbo_device_ms_img"] = round(tms, 3)
+        extra["int8_turbo_device_ms_img_spread"] = [round(tms_min, 3),
+                                                   round(tms_max, 3)]
+        log(f"device-resident int8 TURBO (-turbo, bf16 residuals): "
+            f"{tms:.3f} ms/img -> {1e3 / tms:.0f} img/s "
+            f"(spread {tms_min:.3f}-{tms_max:.3f})")
+    except Exception as e:
+        log(f"device-resident turbo probe failed: {e}")
+
     # --- parsed secondary: bf16 device-resident -----------------------------
     try:
         bms, bms_min, bms_max = device_resident_ms_img(
