@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from yolo2_light_tpu.cfg import parse_network_cfg
 from yolo2_light_tpu.models.network import Predictor
@@ -124,3 +125,78 @@ def test_pipeline_tensor_parallel_device_nms(tmp_path):
         assert a.n == b.n
         np.testing.assert_allclose(np.sort(a.prob.max(-1)),
                                    np.sort(b.prob.max(-1)), rtol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_spatial_parallel_matches_unsharded(tmp_path):
+    """Pure spatial partitioning (sp=8): activation rows sharded over the mesh,
+    GSPMD halo exchanges at every 3x3 conv / maxpool — values must match the
+    unsharded program. This is the axis that divides SINGLE-image work (the
+    b=1 latency floor, PERF_NOTES.md), unlike dp/tp."""
+    cfg = _shrunk_cfg("/root/reference/bin/yolov3-tiny.cfg", tmp_path)
+    spec = parse_network_cfg(cfg, batch=2)
+    params = fuse_conv_batchnorm(spec, random_params(spec, seed=2))
+    x = np.random.RandomState(1).rand(2, 128, 128, 3).astype(np.float32)
+
+    ref = Predictor(spec, params)(x)
+    mesh = make_mesh(8, data=1, space=8, model=1)
+    fn, sharded = make_sharded_predict(spec, params, mesh)
+    out = fn(sharded, x)
+    for o, r in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(o),
+                                   np.asarray(r.data).reshape(o.shape),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_dp_sp_tp_combined_matches_unsharded(tmp_path):
+    """All three axes at once (dp=2 x sp=2 x tp=2) on a real shipped graph.
+    Tolerance is slightly looser than the dp x tp tests: sharded reductions
+    reorder f32 adds (measured: <=4e-5 absolute on a handful of elements)."""
+    cfg = _shrunk_cfg("/root/reference/bin/yolov3-tiny.cfg", tmp_path)
+    spec = parse_network_cfg(cfg, batch=2)
+    params = fuse_conv_batchnorm(spec, random_params(spec, seed=2))
+    x = np.random.RandomState(1).rand(2, 128, 128, 3).astype(np.float32)
+
+    ref = Predictor(spec, params)(x)
+    mesh = make_mesh(8, data=2, space=2, model=2)
+    fn, sharded = make_sharded_predict(spec, params, mesh)
+    out = fn(sharded, x)
+    for o, r in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(o),
+                                   np.asarray(r.data).reshape(o.shape),
+                                   rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_spatial_times_model_kernel_bug_guard():
+    """CANARY for the upstream XLA SPMD bug that forces shard_params' 1x1-only
+    rule under space>1 (parallel/mesh.py): a spatially-partitioned conv whose
+    KERNEL is channel-sharded miscompiles (halo contributions wrong) for any
+    kh*kw > 1 on jax 0.9.0, while 1x1 convs and dots partition correctly.
+
+    This test asserts the bug is STILL PRESENT. When a jax upgrade fixes it,
+    this fails loudly -> remove the `space_size == 1 or kh*kw == 1` guard in
+    shard_params and delete this test."""
+    from jax import lax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    def conv(x, w):
+        return lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 16, 16, 8).astype(np.float32)
+    w = rng.rand(3, 3, 8, 16).astype(np.float32)
+    ref = np.asarray(conv(jnp.asarray(x), jnp.asarray(w)))
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("space", "model"))
+    xd = jax.device_put(x, NamedSharding(mesh, P(None, "space", None, None)))
+    wd = jax.device_put(w, NamedSharding(mesh, P(None, None, None, "model")))
+    err = np.abs(np.asarray(jax.jit(conv)(xd, wd)) - ref).max()
+    assert err > 1e-2, (
+        f"upstream XLA fixed spatial x kernel-sharded convs (maxerr={err}): "
+        "remove the 1x1-only guard in parallel/mesh.shard_params and this "
+        "canary")

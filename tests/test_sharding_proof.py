@@ -34,10 +34,10 @@ def _tiny128(tmp_path):
     return str(p)
 
 
-def _compiled(cfg, data, model, batch):
+def _compiled(cfg, data, model, batch, space=1):
     spec = parse_network_cfg(cfg, batch=batch)
     params = fuse_conv_batchnorm(spec, random_params(spec, seed=2))
-    mesh = make_mesh(8, data=data, model=model)
+    mesh = make_mesh(8, data=data, model=model, space=space)
     fn, sharded = make_sharded_predict(spec, params, mesh)
     x = np.zeros((batch, spec.net.h, spec.net.w, 3), np.float32)
     compiled = fn.lower(sharded, x).compile()
@@ -130,3 +130,50 @@ def test_dp8_pure_data_parallel_no_collectives(tmp_path):
         assert text.count(op) == 0, f"unexpected {op} in dp-only program"
     shapes = _conv_shapes(text)
     assert shapes and all(s[0] == 1 for s in shapes), shapes
+
+
+@needs8
+def test_sp4_conv_rows_are_sharded(tmp_path):
+    """dp=2 x sp=4: per-device conv outputs must carry H/4 rows (spatial
+    partitioning really divides the per-image work) and the program must
+    contain halo-exchange collective-permutes for the 3x3 windows."""
+    spec, _, _, text = _compiled(_tiny128(tmp_path), data=2, model=1, batch=2,
+                                 space=4)
+    shapes = _conv_shapes(text)
+    assert shapes, "no convolutions found in HLO"
+    # the big early convs must compute on row shards: H (shapes are NHWC,
+    # s[1]) must never appear at the full 128 and must appear at 128/4
+    early = [s for s in shapes if s[1] == 128]
+    assert not early, f"full-height 128-row convs present: replicated {early}"
+    assert any(s[1] in (32, 33, 34) for s in shapes), (
+        f"no ~128/4-row conv shards in HLO: {sorted(set(shapes))}")
+    assert text.count("collective-permute") > 0, "no halo exchanges inserted"
+
+
+@needs8
+def test_sp_weights_replicated_3x3_sharded_1x1(tmp_path):
+    """Under space>1 the 3x3 kernels must stay replicated (the partitioner
+    bug guard) while 1x1 kernels still shard over model."""
+    import jax as _jax
+    from yolo2_light_tpu.parallel.mesh import make_mesh as _mm, shard_params
+    spec = parse_network_cfg(_tiny128(tmp_path), batch=2)
+    params = fuse_conv_batchnorm(spec, random_params(spec, seed=2))
+    mesh = _mm(8, data=1, space=2, model=4)
+    sharded = shard_params(spec, params, mesh)
+    checked_1x1 = checked_3x3 = 0
+    for l in spec.layers:
+        if not isinstance(l, ConvSpec):
+            continue
+        p = sharded[l.index]
+        for k, v in p.items():
+            if getattr(v, "ndim", 0) != 4:
+                continue
+            per_dev = v.addressable_shards[0].data.nbytes
+            full = int(np.prod(v.shape)) * v.dtype.itemsize
+            if v.shape[0] * v.shape[1] == 1 and v.shape[-1] % 4 == 0:
+                assert per_dev * 4 == full, (l.index, k, "1x1 not sharded")
+                checked_1x1 += 1
+            elif v.shape[0] * v.shape[1] > 1:
+                assert per_dev == full, (l.index, k, "3x3 sharded under sp!")
+                checked_3x3 += 1
+    assert checked_3x3 > 0, "no 3x3 kernels checked"

@@ -15,8 +15,9 @@ Flags: -thresh F (default .25 like the reference; the shipped scripts pass .24),
 -k N (map/demo: candidate-buffer size; raise on saturation warnings),
 -xnor_kernel int8|pallas|pallas_mxu, -batch N (map/demo device batch),
 -uint8_ingest / -no_uint8_ingest (demo: force/disable uint8 frame shipping
-independently of compute dtype), -parallel N -tp M
-(map sharding), -params_cache DIR (converted-weights cache),
+independently of compute dtype), -parallel N -tp M -sp K
+(map sharding: data x tensor x spatial mesh axes),
+-params_cache DIR (converted-weights cache),
 -input_calibration N / -calib_method device|host (calibrate), -profile DIR, -i N,
 -turbo (TPU-native extension: materialize inter-layer activations as bf16 —
 all conv/epilogue math stays f32 in-register; measured 0.420 -> 0.393 ms/img
@@ -78,6 +79,17 @@ class _TrackedStream:
 
 
 def main(argv=None) -> int:
+    # Backend override: some TPU plugins (axon) install a sitecustomize that
+    # clobbers the JAX_PLATFORMS env var, so an env var alone cannot force the
+    # CPU backend; the config call below is applied before any jax.devices()
+    # commits the backend. Used to run the CLI on TPU-less hosts and to drive
+    # the multi-device mesh flags (-parallel/-tp/-sp) on virtual CPU devices
+    # (with XLA_FLAGS=--xla_force_host_platform_device_count=N).
+    import os
+    plat = os.environ.get("YOLO2_TPU_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     _enable_compile_cache()
     # long-stall hint: first compiles legitimately take minutes through a
     # remote-compile relay, but a relay outage blocks even device discovery
@@ -162,6 +174,7 @@ def _main(argv=None) -> int:
     batch = _find_value(args, "-batch", 0, int)
     data_parallel = _find_value(args, "-parallel", 0, int)
     tensor_parallel = _find_value(args, "-tp", 0, int)
+    spatial_parallel = _find_value(args, "-sp", 0, int)
     profile_dir = _find_value(args, "-profile", None)
 
     if len(args) < 2:
@@ -214,6 +227,7 @@ def _main(argv=None) -> int:
                               int8_policy=int8_policy,
                               data_parallel=data_parallel,
                               tensor_parallel=tensor_parallel,
+                              spatial_parallel=spatial_parallel,
                               compute_dtype=compute_dtype,
                               params_cache=params_cache,
                               device_nms=device_nms, turbo=turbo, **kw)

@@ -35,6 +35,7 @@ def validate_detector_map(datacfg: str, cfgfile: str, weightfile, *,
                           compute_dtype=None, k: int = 1024,
                           data_parallel: int = 0,
                           tensor_parallel: int = 0,
+                          spatial_parallel: int = 0,
                           params_cache=None,
                           device_nms: bool = False,
                           turbo: bool = False) -> dict:
@@ -54,9 +55,10 @@ def validate_detector_map(datacfg: str, cfgfile: str, weightfile, *,
     mesh = None
     dp = max(1, data_parallel)
     tp = max(1, tensor_parallel)
-    if dp * tp > 1:
+    sp = max(1, spatial_parallel)
+    if dp * tp * sp > 1:
         from ..parallel.mesh import make_mesh
-        mesh = make_mesh(dp * tp, data=dp, model=tp)
+        mesh = make_mesh(dp * sp * tp, data=dp, model=tp, space=sp)
         batch = max(batch, dp)
         batch -= batch % dp  # keep shards even
     pipe = DetectionPipeline(spec, params, mode,

@@ -75,7 +75,8 @@ class DetectionPipeline:
         self._turbo = bool(turbo)
         self._mesh = mesh
         self._packed_dtype = packed_dtype
-        if mesh is not None and mesh.shape.get("model", 1) > 1:
+        if mesh is not None and (mesh.shape.get("model", 1) > 1
+                                 or mesh.shape.get("space", 1) > 1):
             # tensor-parallel: shard straight from the host params —
             # params_to_device would commit everything to device 0 first and
             # shard_params' np.asarray would then fetch it all back (a wasted
@@ -141,9 +142,13 @@ class DetectionPipeline:
             # TPU analog of the reference's 4-thread loader). A "model" axis > 1
             # additionally shards conv output channels tensor-parallel: GSPMD
             # propagates the channel sharding and inserts all-gathers only where
-            # routes/heads demand (parallel/mesh.py).
+            # routes/heads demand (parallel/mesh.py). A "space" axis > 1 shards
+            # activation ROWS (spatial partitioning, GSPMD halo exchanges) —
+            # the axis that divides single-image latency; not compatible with
+            # planar-YUV ingest (its H*3/2 packing has no clean row sharding).
             from jax.sharding import NamedSharding, PartitionSpec as P
-            x_sharding = NamedSharding(mesh, P("data", None, None, None))
+            from .parallel.mesh import x_partition_spec
+            x_sharding = NamedSharding(mesh, x_partition_spec(mesh))
             out_sharding = NamedSharding(mesh, P("data", None, None))
             self._jitted = jax.jit(run, in_shardings=(None, x_sharding),
                                    out_shardings=out_sharding)
