@@ -1,0 +1,84 @@
+"""int8_impl="fused" (Pallas residual-stage kernel) vs the plain XLA int8
+builder — bit-exact, through the full network builder on a darknet53-style
+mini net (tests/data/mini-res.cfg).
+
+Both forwards run JITTED: a jitted graph and the eager path differ by 1 ulp
+in the leaky /10 (XLA reciprocal-multiply rewrite); the fused kernel matches
+the jitted form (see tests/test_pallas_fused.py).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yolo2_light_tpu.apps.detect import build_params
+from yolo2_light_tpu.cfg import parse_network_cfg
+from yolo2_light_tpu.models.network import (_fused_stage_runs, _int8_layer_set,
+                                            build_forward, params_to_device)
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+CFG = os.path.join(DATA, "mini-res.cfg")
+
+
+def test_pattern_matcher_finds_stages():
+    spec = parse_network_cfg(CFG)
+    runs = _fused_stage_runs(spec, _int8_layer_set(spec, "cpu"))
+    # stage 1: blocks (2,3,4)+(5,6,7) chained; stage 2: block (9,10,11)
+    assert runs == {2: [(2, 3, 4), (5, 6, 7)], 9: [(9, 10, 11)]}
+
+
+def test_route_consumer_blocks_fusion():
+    """A route tapping an interior conv output must break the pattern."""
+    spec = parse_network_cfg(os.path.join(DATA, "mini-yolo3.cfg"))
+    runs = _fused_stage_runs(spec, _int8_layer_set(spec, "cpu"))
+    assert runs == {}   # no residual blocks at all in this net
+
+
+@pytest.mark.parametrize("batch", [1, 2])
+def test_fused_equals_xla_bit_exact(batch):
+    spec, params, _ = build_params(CFG, None, quantized=True, seed=3)
+    dev = params_to_device(params)
+    rng = np.random.RandomState(0)
+    x = rng.rand(batch, spec.net.h, spec.net.w, spec.net.c).astype(np.float32)
+
+    plain = build_forward(spec, "int8", int8_policy="cpu")
+    fused = build_forward(spec, "int8", int8_policy="cpu", int8_impl="fused")
+    jp = jax.jit(lambda p, v: tuple(h.data for h in plain(p, v)[0]))
+    jf = jax.jit(lambda p, v: tuple(h.data for h in fused(p, v)[0]))
+    h0, h1 = jp(dev, x), jf(dev, x)
+    assert len(h0) == len(h1) == 1
+    for a, b in zip(h0, h1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_with_chain_and_turbo_runs():
+    """fused composes with int8_chain (chain targets into/out of the stage are
+    simply dropped) and with turbo (f32 in/out casts around the kernel)."""
+    spec, params, _ = build_params(CFG, None, quantized=True, seed=4)
+    dev = params_to_device(params)
+    rng = np.random.RandomState(1)
+    x = rng.rand(1, spec.net.h, spec.net.w, spec.net.c).astype(np.float32)
+
+    plain = build_forward(spec, "int8", int8_policy="cpu", int8_chain=True)
+    fused = build_forward(spec, "int8", int8_policy="cpu", int8_chain=True,
+                          int8_impl="fused")
+    jp = jax.jit(lambda p, v: tuple(h.data for h in plain(p, v)[0]))
+    jf = jax.jit(lambda p, v: tuple(h.data for h in fused(p, v)[0]))
+    np.testing.assert_array_equal(np.asarray(jp(dev, x)[0]),
+                                  np.asarray(jf(dev, x)[0]))
+
+    turbo = build_forward(spec, "int8", int8_policy="cpu", int8_chain=True,
+                          int8_impl="fused", residual_dtype=jnp.bfloat16)
+    jt = jax.jit(lambda p, v: tuple(h.data for h in turbo(p, v)[0]))
+    out = np.asarray(jt(dev, x)[0])
+    assert out.dtype == np.float32
+    ref = np.asarray(jp(dev, x)[0])
+    # -turbo is approximate: bf16-materialized residuals occasionally flip an
+    # int8 quant bin downstream. Nearly all elements must still agree tightly.
+    close = np.isclose(out, ref, rtol=0.1, atol=0.1)
+    assert close.mean() > 0.99, f"only {close.mean():.4f} of elements close"
+    np.testing.assert_allclose(out, ref, rtol=0.5, atol=0.5)

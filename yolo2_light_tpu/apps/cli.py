@@ -14,6 +14,9 @@ Flags: -thresh F (default .25 like the reference; the shipped scripts pass .24),
 -device_nms (map/demo: greedy NMS on device, fused into the XLA program),
 -k N (map/demo: candidate-buffer size; raise on saturation warnings),
 -xnor_kernel int8|pallas|pallas_mxu, -batch N (map/demo device batch),
+-int8_impl xla|fused|pallas (-quantized conv engine; "fused" runs darknet53
+residual stages as single Pallas kernels with the trunk VMEM-resident,
+bit-exact — ops/pallas_fused.py),
 -uint8_ingest / -no_uint8_ingest (demo: force/disable uint8 frame shipping
 independently of compute dtype), -parallel N -tp M -sp K
 (map sharding: data x tensor x spatial mesh axes),
@@ -149,6 +152,10 @@ def _main(argv=None) -> int:
     out_filename = _find_value(args, "-out_filename", None)
     save_path = _find_value(args, "-save", "predictions")
     int8_policy = _find_value(args, "-int8_policy", "cpu")
+    # conv-engine selection for -quantized: xla (default), fused (Pallas
+    # residual-stage kernel, bit-exact — ops/pallas_fused.py), pallas
+    # (experimental per-conv kernel, ops/pallas_int8.py)
+    int8_impl = _find_value(args, "-int8_impl", "xla")
     device_nms = _find_flag(args, "-device_nms")
     # demo ingest precision override (default: uint8 under bf16, float otherwise)
     uint8_ingest = None
@@ -207,13 +214,13 @@ def _main(argv=None) -> int:
                     int8_policy=int8_policy, save_path=save_path,
                     letter=letterbox, xnor_impl=xnor_kernel,
                     compute_dtype=compute_dtype, params_cache=params_cache,
-                    turbo=turbo)
+                    turbo=turbo, int8_impl=int8_impl)
         else:
             run(names, cfg, weights, filename, thresh=thresh, quantized=quantized,
                 dont_show=dont_show, int8_policy=int8_policy, save_path=save_path,
                 letter=letterbox, xnor_impl=xnor_kernel,
                 compute_dtype=compute_dtype, params_cache=params_cache,
-                turbo=turbo)
+                turbo=turbo, int8_impl=int8_impl)
         return 0
     elif sub == "map":
         from .map import validate_detector_map
@@ -230,7 +237,8 @@ def _main(argv=None) -> int:
                               spatial_parallel=spatial_parallel,
                               compute_dtype=compute_dtype,
                               params_cache=params_cache,
-                              device_nms=device_nms, turbo=turbo, **kw)
+                              device_nms=device_nms, turbo=turbo,
+                              int8_impl=int8_impl, **kw)
         return 0
     elif sub == "calibrate":
         if bf16:
@@ -257,7 +265,7 @@ def _main(argv=None) -> int:
              int8_policy=int8_policy, compute_dtype=compute_dtype,
              prefix=prefix, cam_index=cam_index, frame_skip=frame_skip,
              batch=batch, params_cache=params_cache, device_nms=device_nms,
-             uint8_ingest=uint8_ingest, turbo=turbo,
+             uint8_ingest=uint8_ingest, turbo=turbo, int8_impl=int8_impl,
              **({"k": topk} if topk > 0 else {}))
         return 0
     print(f"Not an option: {sub}", file=sys.stderr)

@@ -62,7 +62,8 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
          cam_index: int = 0, int8_policy: str = "cpu", max_frames=None,
          compute_dtype=None, prefix=None, frame_skip: int = 0,
          batch: int = 0, params_cache=None, device_nms: bool = False,
-         k: int = 256, uint8_ingest=None, turbo: bool = False) -> int:
+         k: int = 256, uint8_ingest=None, turbo: bool = False,
+         int8_impl: str = "xla") -> int:
     """Returns number of frames processed. Dense convs default to bf16 on the MXU
     (real-time video favors speed; non-quantized frames then also ship as
     uint8 — 4x fewer H2D bytes at <=1/510 per-pixel ingest error); pass
@@ -79,7 +80,7 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
     pipe = DetectionPipeline(spec, params, mode, thresh=thresh, nms=nms,
                              int8_policy=int8_policy, k=k,
                              compute_dtype=cd, device_nms=device_nms,
-                             turbo=turbo)
+                             turbo=turbo, int8_impl=int8_impl)
     classes = pipe.classes
     if batch <= 0:
         batch = 4 if filename else 1

@@ -38,7 +38,8 @@ def validate_detector_map(datacfg: str, cfgfile: str, weightfile, *,
                           spatial_parallel: int = 0,
                           params_cache=None,
                           device_nms: bool = False,
-                          turbo: bool = False) -> dict:
+                          turbo: bool = False,
+                          int8_impl: str = "xla") -> dict:
     import jax.numpy as jnp
 
     options = read_data_cfg(datacfg)
@@ -64,7 +65,8 @@ def validate_detector_map(datacfg: str, cfgfile: str, weightfile, *,
     pipe = DetectionPipeline(spec, params, mode,
                              thresh=0.005, nms=0.45, k=k,
                              int8_policy=int8_policy, compute_dtype=cd,
-                             mesh=mesh, device_nms=device_nms, turbo=turbo)
+                             mesh=mesh, device_nms=device_nms, turbo=turbo,
+                             int8_impl=int8_impl)
     classes = pipe.classes
 
     with open(valid_images) as f:

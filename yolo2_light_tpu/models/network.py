@@ -105,6 +105,81 @@ def _quantize_i8(x, mult):
     return jnp.clip(jnp.trunc(x * mult), -127, 127).astype(jnp.int8)
 
 
+_FUSED_VMEM_BUDGET = 12 << 20   # leave ~4MB of the ~16MB core for temporaries
+
+
+def _fused_stage_runs(spec: ModelSpec, int8_set: set) -> dict:
+    """Trace-time pattern match for ``int8_impl="fused"``: maximal runs of
+    darknet53 residual blocks
+
+        conv1x1(leaky, int8) -> conv3x3(leaky, int8) -> shortcut(linear, from=-3)
+
+    whose INTERIOR outputs feed nothing outside the run (so the fused Pallas
+    kernel may keep the whole trunk VMEM-resident — ops/pallas_fused.py).
+    Returns {start_conv_index: [(i_conv1, i_conv2, i_shortcut), ...]}; runs are
+    split so per-run weights + trunk + t1q stay under a VMEM budget.
+    """
+    consumers: dict[int, list] = {i: [] for i in range(spec.n)}
+    for l in spec.layers:
+        if isinstance(l, RouteSpec):
+            for j in l.layers:
+                consumers[j].append(l.index)
+        elif isinstance(l, ShortcutSpec):
+            consumers[l.from_index].append(l.index)
+            consumers[l.index - 1].append(l.index)
+        elif l.index > 0:
+            consumers[l.index - 1].append(l.index)
+
+    def block_at(i):
+        """(i, i+1, i+2) is a fusible residual block starting at conv index i."""
+        if i + 2 >= spec.n:
+            return None
+        l1, l2, ls = spec.layers[i], spec.layers[i + 1], spec.layers[i + 2]
+        if not (isinstance(l1, ConvSpec) and l1.size == 1 and l1.stride == 1
+                and l1.pad == 0 and l1.activation == "leaky" and i in int8_set):
+            return None
+        if not (isinstance(l2, ConvSpec) and l2.size == 3 and l2.stride == 1
+                and l2.pad == 1 and l2.activation == "leaky"
+                and (i + 1) in int8_set):
+            return None
+        if not (isinstance(ls, ShortcutSpec) and ls.from_index == i - 1
+                and ls.activation == "linear"):
+            return None
+        # interior conv outputs must feed only the block itself
+        if consumers[i] != [i + 1] or consumers[i + 1] != [i + 2]:
+            return None
+        return (i, i + 1, i + 2)
+
+    runs: dict[int, list] = {}
+    i = 1
+    while i + 2 < spec.n:
+        blk = block_at(i)
+        if blk is None:
+            i += 1
+            continue
+        run = [blk]
+        # extend: previous shortcut output may feed ONLY the next block
+        while True:
+            e = run[-1][2]
+            nxt = block_at(e + 1)
+            if nxt is None or sorted(consumers[e]) != [e + 1, e + 3]:
+                break
+            run.append(nxt)
+        # split the run under the VMEM budget (weights dominate at C>=512)
+        l1 = spec.layers[run[0][0]]
+        C, C2 = l1.c, l1.n
+        H, W = l1.h, l1.w
+        WP = (W + 2 + 31) // 32 * 32
+        fixed = (H + 3) * WP * (C * 4 + C2)            # trunk f32 + t1q int8
+        per_block = C * C2 + 9 * C2 * C + 4 * (C + C2)  # int8 weights + f32 biases
+        kmax = max(1, (_FUSED_VMEM_BUDGET - fixed) // per_block)
+        for s in range(0, len(run), kmax):
+            chunk = run[s: s + kmax]
+            runs[chunk[0][0]] = chunk
+        i = run[-1][2] + 1
+    return runs
+
+
 def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cpu",
                   compute_dtype=jnp.float32, capture_conv_inputs: bool = False,
                   xnor_impl: str = "int8", int8_chain: bool = False,
@@ -134,6 +209,17 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
     int8_set = _int8_layer_set(spec, int8_policy) if mode == "int8" else set()
     chain = _int8_chain_targets(spec, int8_set) if (
         mode == "int8" and int8_chain) else {}
+    # int8_impl="fused": residual stages run as one Pallas kernel with the
+    # trunk VMEM-resident (ops/pallas_fused.py) — bit-exact to the XLA path
+    fused_runs: dict[int, list] = {}
+    if (mode == "int8" and int8_impl == "fused" and not capture_conv_inputs):
+        fused_runs = _fused_stage_runs(spec, int8_set)
+        if jax.default_backend() == "tpu":
+            # DMA lane tiling requires the trunk channel count % 128
+            fused_runs = {s: r for s, r in fused_runs.items()
+                          if spec.layers[s].c % 128 == 0}
+    fused_skip = {idx for run in fused_runs.values()
+                  for blk in run for idx in blk} - set(fused_runs)
 
     def forward(params, x):
         outputs: dict[int, jax.Array] = {}
@@ -155,6 +241,29 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
 
         for l in spec.layers:
             i = l.index
+            if i in fused_runs:
+                from ..ops.pallas_fused import fused_res_stage
+                run = fused_runs[i]
+                blocks = []
+                for (i1, i2, _ishort) in run:
+                    p1, p2 = params[i1], params[i2]
+                    blocks.append(dict(
+                        w1=p1["weights_int8"], b1=p1["biases"],
+                        m1=p1["input_quant_multipler"],
+                        wm1=p1["weights_quant_multipler"],
+                        w2=p2["weights_int8"], b2=p2["biases"],
+                        m2=p2["input_quant_multipler"],
+                        wm2=p2["weights_quant_multipler"]))
+                xin = (cur.astype(jnp.float32) if residual_dtype is not None
+                       else cur)
+                cur = fused_res_stage(xin, blocks)
+                if residual_dtype is not None:
+                    cur = cur.astype(residual_dtype)
+                cur_i8 = None
+                outputs[run[-1][2]] = cur   # interior outputs provably unused
+                continue
+            if i in fused_skip:
+                continue
             if isinstance(l, ConvSpec):
                 p = params[i]
                 if capture_conv_inputs:
@@ -382,13 +491,13 @@ class Predictor:
     def __init__(self, spec: ModelSpec, params: list, mode: str = "fp32", *,
                  int8_policy: str = "cpu", compute_dtype=jnp.float32,
                  xnor_impl: str = "int8", int8_chain: bool = True,
-                 turbo: bool = False):
+                 turbo: bool = False, int8_impl: str = "xla"):
         self.spec = spec
         self.mode = mode
         self.params = params_to_device(params)
         fwd = build_forward(spec, mode, int8_policy=int8_policy,
                             compute_dtype=compute_dtype, xnor_impl=xnor_impl,
-                            int8_chain=int8_chain,
+                            int8_chain=int8_chain, int8_impl=int8_impl,
                             residual_dtype=jnp.bfloat16 if turbo else None)
         # jit only carries arrays; head metadata (index/kind) is static and reattached
         self._head_meta = [(l.index, "yolo" if isinstance(l, YoloSpec) else "region")

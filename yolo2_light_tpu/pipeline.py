@@ -61,7 +61,7 @@ class DetectionPipeline:
                  int8_policy: str = "cpu", compute_dtype=jnp.float32,
                  letter: bool = False, packed_dtype=jnp.float32,
                  xnor_impl: str = "int8", mesh=None, device_nms: bool = False,
-                 turbo: bool = False):
+                 turbo: bool = False, int8_impl: str = "xla"):
         self.spec = spec
         self.thresh = thresh
         self.nms = nms
@@ -72,6 +72,7 @@ class DetectionPipeline:
         self._int8_policy = int8_policy
         self._compute_dtype = compute_dtype
         self._xnor_impl = xnor_impl
+        self._int8_impl = int8_impl
         self._turbo = bool(turbo)
         self._mesh = mesh
         self._packed_dtype = packed_dtype
@@ -90,7 +91,7 @@ class DetectionPipeline:
         self.classes = self.head_specs[-1].classes
         fwd = build_forward(spec, mode, int8_policy=int8_policy,
                             compute_dtype=compute_dtype, xnor_impl=xnor_impl,
-                            int8_chain=True,
+                            int8_chain=True, int8_impl=int8_impl,
                             residual_dtype=jnp.bfloat16 if turbo else None)
         netw, neth = spec.net.w, spec.net.h
         head_specs = self.head_specs
@@ -226,7 +227,7 @@ class DetectionPipeline:
                 compute_dtype=self._compute_dtype, letter=self.letter,
                 xnor_impl=self._xnor_impl, mesh=self._mesh,
                 packed_dtype=self._packed_dtype, device_nms=self.device_nms,
-                turbo=self._turbo)
+                turbo=self._turbo, int8_impl=self._int8_impl)
             self._grown_cache = cached
         return cached
 
