@@ -16,7 +16,8 @@ Flags: -thresh F (default .25 like the reference; the shipped scripts pass .24),
 -xnor_kernel int8|pallas|pallas_mxu, -batch N (map/demo device batch),
 -int8_impl xla|fused|pallas (-quantized conv engine; "fused" runs darknet53
 residual stages as single Pallas kernels with the trunk VMEM-resident,
-bit-exact — ops/pallas_fused.py),
+bit-exact on hardware but measured slower than the default XLA engine —
+ops/pallas_fused.py, PERF_NOTES.md),
 -uint8_ingest / -no_uint8_ingest (demo: force/disable uint8 frame shipping
 independently of compute dtype), -parallel N -tp M -sp K
 (map sharding: data x tensor x spatial mesh axes),

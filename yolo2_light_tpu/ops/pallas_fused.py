@@ -59,6 +59,15 @@ Two variants:
 Integration: models/network.build_forward(int8_impl="fused") pattern-matches
 (conv1x1 leaky int8) -> (conv3x3 leaky int8) -> (shortcut linear) runs at
 trace time; everything else stays on the XLA path.
+
+Measured verdict (v5e chip, b=128, bench_fused_stage.py — PERF_NOTES.md
+round 3): bit-exact on hardware (maxerr=0 vs the XLA path) but SLOWER —
+res104 0.1025 vs XLA 0.0508 ms/img, res52 0.1074 vs 0.0897. The fusion
+does eliminate the trunk's HBM transits, but Mosaic's int8 dot runs at
+~132 Tops vs XLA's 237-268 Tops convs, and the deficit exceeds the
+traffic savings at every eligible stage. Kept as validated opt-in
+(-int8_impl fused): the transform is right, the int8 GEMM rate isn't —
+re-measure on future libtpu releases.
 """
 
 from __future__ import annotations
