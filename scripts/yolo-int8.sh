@@ -1,0 +1,5 @@
+#!/bin/sh
+# reference: bin/yolo_cpu_int8.cmd (the .cmd set's INT8 yolov3 line)
+. "$(dirname "$0")/_common.sh"
+W=$(weights_for "$BIN/yolov3.cfg" yolov3.weights)
+python -m yolo2_light_tpu detector test "$BIN/coco.names" "$BIN/yolov3.cfg" "$W" "$BIN/dog.jpg" -thresh 0.24 -quantized -bf16 -dont_show "$@"
