@@ -24,6 +24,81 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 CFG = os.path.join(DATA, "mini-res.cfg")
 
 
+def _residual_cfg(tmp_path, c_trunk: int, c_mid: int, n_blocks: int) -> str:
+    """Synthetic darknet53-style stage: stride-2 stem to ``c_trunk`` channels,
+    ``n_blocks`` chained (1x1 c_mid -> 3x3 c_trunk -> shortcut) blocks, head."""
+    block = f"""
+[convolutional]
+batch_normalize=1
+filters={c_mid}
+size=1
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters={c_trunk}
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[shortcut]
+from=-3
+activation=linear
+"""
+    cfg = (f"[net]\nbatch=1\nsubdivisions=1\nwidth=32\nheight=32\nchannels=3\n"
+           f"\n[convolutional]\nbatch_normalize=1\nfilters={c_trunk}\nsize=3\n"
+           f"stride=2\npad=1\nactivation=leaky\n"
+           + block * n_blocks +
+           "\n[convolutional]\nsize=1\nstride=1\npad=1\nfilters=24\n"
+           "activation=linear\n\n[yolo]\nmask = 0,1,2\n"
+           "anchors = 10,14,  23,27,  37,58,  81,82,  135,169,  344,319\n"
+           "classes=3\nnum=6\n")
+    p = tmp_path / f"res{c_trunk}x{n_blocks}.cfg"
+    p.write_text(cfg)
+    return str(p)
+
+
+def test_vmem_budget_keeps_small_stage_whole(tmp_path):
+    """8 blocks at C=512/16px fit the VMEM budget -> ONE fused run."""
+    spec = parse_network_cfg(_residual_cfg(tmp_path, 512, 256, 8))
+    runs = _fused_stage_runs(spec, _int8_layer_set(spec, "cpu"))
+    assert {s: len(r) for s, r in runs.items()} == {1: 8}
+
+
+def test_vmem_budget_splits_large_stage(tmp_path):
+    """4 blocks at C=1024 exceed the budget (5.2MB int8 weights per block)
+    -> split into per-block runs, chained back-to-back over the stage."""
+    spec = parse_network_cfg(_residual_cfg(tmp_path, 1024, 512, 4))
+    runs = _fused_stage_runs(spec, _int8_layer_set(spec, "cpu"))
+    assert {s: len(r) for s, r in runs.items()} == {1: 1, 4: 1, 7: 1, 10: 1}
+    # chunks tile the stage contiguously: each run's shortcut feeds the next
+    starts = sorted(runs)
+    for a, b in zip(starts, starts[1:]):
+        assert runs[a][-1][2] + 1 == b
+
+
+def test_fused_equals_xla_across_split_runs(tmp_path):
+    """Builder equality must hold when a stage is VMEM-split into several
+    kernels (trunk leaves/re-enters VMEM between chunks)."""
+    cfg = _residual_cfg(tmp_path, 1024, 512, 2)
+    spec = parse_network_cfg(cfg)
+    runs = _fused_stage_runs(spec, _int8_layer_set(spec, "cpu"))
+    assert {s: len(r) for s, r in runs.items()} == {1: 1, 4: 1}  # really split
+    spec, params, _ = build_params(cfg, None, quantized=True, seed=5)
+    dev = params_to_device(params)
+    x = np.random.RandomState(2).rand(1, spec.net.h, spec.net.w,
+                                      spec.net.c).astype(np.float32)
+    plain = build_forward(spec, "int8", int8_policy="cpu")
+    fused = build_forward(spec, "int8", int8_policy="cpu", int8_impl="fused")
+    jp = jax.jit(lambda p, v: tuple(h.data for h in plain(p, v)[0]))
+    jf = jax.jit(lambda p, v: tuple(h.data for h in fused(p, v)[0]))
+    np.testing.assert_array_equal(np.asarray(jp(dev, x)[0]),
+                                  np.asarray(jf(dev, x)[0]))
+
+
 def test_pattern_matcher_finds_stages():
     spec = parse_network_cfg(CFG)
     runs = _fused_stage_runs(spec, _int8_layer_set(spec, "cpu"))
