@@ -46,3 +46,18 @@ def test_voc_label_converter(tmp_path):
     np.testing.assert_allclose([float(v) for v in vals[1:]],
                                [0.3, 0.35, 0.4, 0.5], atol=1e-5)
     assert (tmp_path / "2007_test.txt").read_text().strip().endswith("000001.jpg")
+
+    # --difficult (reference voc_label_difficult.py): inverted filter,
+    # difficult_ prefixes on label file, list file, and jpg paths
+    os.chdir(tmp_path)
+    try:
+        main(["--root", "VOCdevkit", "--sets", "2007,test", "--difficult"])
+    finally:
+        os.chdir(cwd)
+    dlabel = (root / "VOC2007" / "labels" / "difficult_000001.txt"
+              ).read_text().strip()
+    dparts = dlabel.split("\n")
+    assert len(dparts) == 1
+    assert dparts[0].split()[0] == "7"  # cat — the DIFFICULT box, kept
+    dlist = (tmp_path / "difficult_2007_test.txt").read_text().strip()
+    assert dlist.endswith("difficult_000001.jpg")

@@ -1,12 +1,21 @@
 """VOC XML -> darknet txt label converter (training-data prep tool).
 
-Same capability as the reference's bin/data/voc_label.py: walks VOCdevkit image-set
-lists, converts each Annotation XML into a ``class x y w h`` (relative,
+Same capability as the reference's bin/data/voc_label.py AND its
+bin/data/voc_label_difficult.py variant: walks VOCdevkit image-set lists,
+converts each Annotation XML into a ``class x y w h`` (relative,
 center-format) label file, and writes per-set image list files.
+
+``--difficult`` reproduces voc_label_difficult.py: the object filter
+INVERTS (keep only difficult==1 boxes), and every artifact gains the
+``difficult_`` prefix — the label file, the list file, and the ``.jpg``
+paths inside it — which is what `detector map`'s images->labels /
+.jpg->.txt path rewriting resolves when a `.data` file sets
+``difficult = data/difficult_2007_test.txt`` (reference
+additionally.c:4566-4570,4739-4747).
 
 Usage:
     python -m yolo2_light_tpu.utils.voc_label [--root VOCdevkit-parent] \
-        [--sets 2007,train 2007,val ...] [--classes names...]
+        [--sets 2007,train 2007,val ...] [--classes names...] [--difficult]
 """
 
 from __future__ import annotations
@@ -20,6 +29,8 @@ VOC_CLASSES = ["aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car",
 
 DEFAULT_SETS = [("2012", "train"), ("2012", "val"), ("2007", "train"),
                 ("2007", "val"), ("2007", "test")]
+# voc_label_difficult.py defaults to the eval-side sets only
+DEFAULT_DIFFICULT_SETS = [("2012", "val"), ("2007", "test")]
 
 
 def convert_box(size, box):
@@ -32,22 +43,26 @@ def convert_box(size, box):
     return x, y, w, h
 
 
-def convert_annotation(root: str, year: str, image_id: str, classes) -> None:
+def convert_annotation(root: str, year: str, image_id: str, classes,
+                       difficult_only: bool = False) -> None:
     in_file = os.path.join(root, f"VOC{year}", "Annotations", f"{image_id}.xml")
     out_dir = os.path.join(root, f"VOC{year}", "labels")
     os.makedirs(out_dir, exist_ok=True)
+    prefix = "difficult_" if difficult_only else ""
     tree = ET.parse(in_file)
     r = tree.getroot()
     size = r.find("size")
     w = int(size.find("width").text)
     h = int(size.find("height").text)
-    with open(os.path.join(out_dir, f"{image_id}.txt"), "w") as out:
+    with open(os.path.join(out_dir, f"{prefix}{image_id}.txt"), "w") as out:
         for obj in r.iter("object"):
             difficult = obj.find("difficult")
+            dif = int(difficult.text) if difficult is not None else 0
             cls = obj.find("name").text
             if cls not in classes:
                 continue
-            if difficult is not None and int(difficult.text) == 1:
+            # base tool drops difficult boxes; the difficult tool keeps ONLY them
+            if (dif == 0) if difficult_only else (dif == 1):
                 continue
             cls_id = classes.index(cls)
             b = obj.find("bndbox")
@@ -64,9 +79,13 @@ def main(argv=None) -> int:
     ap.add_argument("--sets", nargs="*", default=None,
                     help="year,set pairs e.g. 2007,train")
     ap.add_argument("--classes", nargs="*", default=VOC_CLASSES)
+    ap.add_argument("--difficult", action="store_true",
+                    help="emit ONLY difficult boxes with difficult_ prefixes "
+                         "(reference voc_label_difficult.py)")
     args = ap.parse_args(argv)
     sets = ([tuple(s.split(",")) for s in args.sets] if args.sets
-            else DEFAULT_SETS)
+            else (DEFAULT_DIFFICULT_SETS if args.difficult else DEFAULT_SETS))
+    prefix = "difficult_" if args.difficult else ""
     cwd = os.getcwd()
     for year, image_set in sets:
         list_file = os.path.join(args.root, f"VOC{year}", "ImageSets", "Main",
@@ -75,12 +94,13 @@ def main(argv=None) -> int:
             continue
         with open(list_file) as f:
             ids = [l.strip() for l in f if l.strip()]
-        with open(f"{year}_{image_set}.txt", "w") as out:
+        with open(f"{prefix}{year}_{image_set}.txt", "w") as out:
             for image_id in ids:
                 img = os.path.join(cwd, args.root, f"VOC{year}", "JPEGImages",
-                                   f"{image_id}.jpg")
+                                   f"{prefix}{image_id}.jpg")
                 out.write(img + "\n")
-                convert_annotation(args.root, year, image_id, args.classes)
+                convert_annotation(args.root, year, image_id, args.classes,
+                                   difficult_only=args.difficult)
     return 0
 
 
