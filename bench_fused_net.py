@@ -51,10 +51,16 @@ def main():
     log(f"device: {jax.devices()[0]}  batch={batch} rep={rep}")
 
     runs = _fused_stage_runs(spec, _int8_layer_set(spec, "cpu"))
-    eligible = {s: r for s, r in runs.items() if spec.layers[s].c % 128 == 0}
+    # mirror build_forward's gate: the C%128 DMA-tiling filter applies on TPU
+    # only (interpret mode has no lane-tiling limit)
+    if jax.default_backend() == "tpu":
+        eligible = {s: r for s, r in runs.items()
+                    if spec.layers[s].c % 128 == 0}
+    else:
+        eligible = runs
     log(f"pattern-matched runs: {len(runs)} "
         f"({sum(len(r) for r in runs.values())} blocks); "
-        f"TPU-eligible: {len(eligible)} "
+        f"eligible on this backend: {len(eligible)} "
         f"({sum(len(r) for r in eligible.values())} blocks)")
 
     results = {"batch": batch, "rep": rep,

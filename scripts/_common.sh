@@ -18,12 +18,15 @@ weights_for() {
         echo "$w"
         return
     fi
-    local gen="/tmp/yolo2_light_tpu_weights/$2"
+    local gendir="${TMPDIR:-/tmp}/yolo2_light_tpu_weights"
+    local gen="$gendir/$2"
     if [ ! -f "$gen" ]; then
-        mkdir -p /tmp/yolo2_light_tpu_weights
+        mkdir -p "$gendir"
         echo "note: $w not found — generating deterministic random weights" \
              "(smoke mode; detections will be meaningless)" >&2
-        python - "$cfg" "$gen" <<'EOF'
+        # write-then-rename: an interrupted generation must not leave a
+        # truncated file that later runs would reuse
+        python - "$cfg" "$gen.tmp.$$" <<'EOF'
 import sys
 from yolo2_light_tpu.cfg import parse_network_cfg
 from yolo2_light_tpu.weights import random_params, save_weights
@@ -31,6 +34,7 @@ cfg, out = sys.argv[1], sys.argv[2]
 spec = parse_network_cfg(cfg, batch=1)
 save_weights(spec, random_params(spec, seed=7), out)
 EOF
+        mv "$gen.tmp.$$" "$gen"
     fi
     echo "$gen"
 }

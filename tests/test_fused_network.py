@@ -80,6 +80,19 @@ def test_vmem_budget_splits_large_stage(tmp_path):
         assert runs[a][-1][2] + 1 == b
 
 
+def test_oversize_trunk_stays_on_xla_path(tmp_path):
+    """When trunk+t1q alone exceed the VMEM budget (e.g. a 304px C=128
+    stage from a 608 net), the run must be left unfused, not squeezed in."""
+    cfg = _residual_cfg(tmp_path, 128, 64, 2).replace(".cfg", "-608.cfg")
+    src = _residual_cfg(tmp_path, 128, 64, 2)
+    text = open(src).read().replace("width=32", "width=608").replace(
+        "height=32", "height=608")
+    with open(cfg, "w") as f:
+        f.write(text)
+    spec = parse_network_cfg(cfg)
+    assert _fused_stage_runs(spec, _int8_layer_set(spec, "cpu")) == {}
+
+
 def test_fused_equals_xla_across_split_runs(tmp_path):
     """Builder equality must hold when a stage is VMEM-split into several
     kernels (trunk leaves/re-enters VMEM between chunks)."""
@@ -99,6 +112,49 @@ def test_fused_equals_xla_across_split_runs(tmp_path):
                                   np.asarray(jf(dev, x)[0]))
 
 
+def test_xnor_blocks_are_not_fused(tmp_path):
+    """The fused kernel implements plain int8 conv math; an xnor=1 conv in
+    the block must disqualify it (the XLA path takes the xnor branch)."""
+    text = open(CFG).read().replace(
+        "[convolutional]\nbatch_normalize=1\nfilters=16\nsize=1\nstride=1\n"
+        "pad=1\nactivation=leaky",
+        "[convolutional]\nbatch_normalize=1\nxnor=1\nfilters=16\nsize=1\n"
+        "stride=1\npad=1\nactivation=leaky", 1)
+    p = tmp_path / "mini-res-xnor.cfg"
+    p.write_text(text)
+    spec = parse_network_cfg(str(p))
+    assert any(getattr(l, "xnor", False) for l in spec.layers)
+    runs = _fused_stage_runs(spec, _int8_layer_set(spec, "cpu"))
+    # the xnor'd first block (2,3,4) must drop out; the untouched ones remain
+    assert 2 not in runs
+    assert all(not spec.layers[i1].xnor and not spec.layers[i2].xnor
+               for r in runs.values() for (i1, i2, _) in r)
+
+
+def test_gpu_policy_never_uses_fused_kernel():
+    """int8_policy='gpu' has different requant semantics than the fused
+    kernel implements; the engine gate must keep it on the XLA path
+    (outputs identical with and without int8_impl='fused')."""
+    spec, params, _ = build_params(CFG, None, quantized=True, seed=6)
+    dev = params_to_device(params)
+    x = np.random.RandomState(3).rand(1, spec.net.h, spec.net.w,
+                                      spec.net.c).astype(np.float32)
+    plain = build_forward(spec, "int8", int8_policy="gpu")
+    fused = build_forward(spec, "int8", int8_policy="gpu", int8_impl="fused")
+    jp = jax.jit(lambda p, v: tuple(h.data for h in plain(p, v)[0]))
+    jf = jax.jit(lambda p, v: tuple(h.data for h in fused(p, v)[0]))
+    np.testing.assert_array_equal(np.asarray(jp(dev, x)[0]),
+                                  np.asarray(jf(dev, x)[0]))
+
+
+def test_unknown_engine_values_rejected():
+    spec = parse_network_cfg(CFG)
+    with pytest.raises(ValueError, match="int8_impl"):
+        build_forward(spec, "int8", int8_impl="fuse")
+    with pytest.raises(ValueError, match="xnor_impl"):
+        build_forward(spec, "fp32", xnor_impl="palas")
+
+
 def test_pattern_matcher_finds_stages():
     spec = parse_network_cfg(CFG)
     runs = _fused_stage_runs(spec, _int8_layer_set(spec, "cpu"))
@@ -106,11 +162,53 @@ def test_pattern_matcher_finds_stages():
     assert runs == {2: [(2, 3, 4), (5, 6, 7)], 9: [(9, 10, 11)]}
 
 
-def test_route_consumer_blocks_fusion():
-    """A route tapping an interior conv output must break the pattern."""
+def test_no_residual_blocks_no_runs():
     spec = parse_network_cfg(os.path.join(DATA, "mini-yolo3.cfg"))
     runs = _fused_stage_runs(spec, _int8_layer_set(spec, "cpu"))
-    assert runs == {}   # no residual blocks at all in this net
+    assert runs == {}   # no (1x1, 3x3, shortcut) triples in this net
+
+
+def test_route_consumer_blocks_fusion(tmp_path):
+    """A route tapping an INTERIOR conv output must break the pattern — the
+    fused kernel never materializes interior activations to HBM."""
+    blockpat = """
+[convolutional]
+batch_normalize=1
+filters=16
+size=1
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[shortcut]
+from=-3
+activation=linear
+"""
+    head = ("[net]\nbatch=1\nsubdivisions=1\nwidth=32\nheight=32\nchannels=3\n"
+            "\n[convolutional]\nbatch_normalize=1\nfilters=32\nsize=3\n"
+            "stride=2\npad=1\nactivation=leaky\n")
+    tail = ("\n[convolutional]\nsize=1\nstride=1\npad=1\nfilters=24\n"
+            "activation=linear\n\n[yolo]\nmask = 0,1,2\n"
+            "anchors = 10,14,  23,27,  37,58,  81,82,  135,169,  344,319\n"
+            "classes=3\nnum=6\n")
+    # control: plain residual block -> matched
+    ctrl = tmp_path / "ctrl.cfg"
+    ctrl.write_text(head + blockpat + tail)
+    spec = parse_network_cfg(str(ctrl))
+    assert _fused_stage_runs(spec, _int8_layer_set(spec, "cpu")) == {1: [(1, 2, 3)]}
+    # same net + a route reading the interior 1x1 output (layer 1) -> rejected
+    routed = tmp_path / "routed.cfg"
+    routed.write_text(head + blockpat + "\n[route]\nlayers=-3\n" + tail)
+    spec = parse_network_cfg(str(routed))
+    assert _fused_stage_runs(spec, _int8_layer_set(spec, "cpu")) == {}
 
 
 @pytest.mark.parametrize("batch", [1, 2])

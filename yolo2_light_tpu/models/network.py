@@ -54,14 +54,10 @@ def _int8_layer_set(spec: ModelSpec, policy: str) -> set:
     return out
 
 
-def _int8_chain_targets(spec: ModelSpec, int8_set: set) -> dict:
-    """For each layer index, the index of the unique int8 conv reachable from its
-    output through quantization-commuting ops (maxpool/route/reorg/upsample-scale-1),
-    or None when absent/ambiguous. Quantization (monotone trunc+clamp) commutes
-    exactly with max/concat/permute/repeat, so a producer can emit pre-quantized
-    int8 activations for its downstream int8 conv; static analysis keeps only the
-    unique-consumer case (a shared output feeding two int8 convs could have two
-    different input multipliers)."""
+def _consumers(spec: ModelSpec) -> dict:
+    """layer index -> indices of layers reading its output (routes read their
+    sources; shortcuts read from_index and the preceding layer; every other
+    non-first layer reads its predecessor)."""
     consumers: dict[int, list] = {i: [] for i in range(spec.n)}
     for l in spec.layers:
         if isinstance(l, RouteSpec):
@@ -72,6 +68,18 @@ def _int8_chain_targets(spec: ModelSpec, int8_set: set) -> dict:
             consumers[l.index - 1].append(l.index)
         elif l.index > 0:
             consumers[l.index - 1].append(l.index)
+    return consumers
+
+
+def _int8_chain_targets(spec: ModelSpec, int8_set: set) -> dict:
+    """For each layer index, the index of the unique int8 conv reachable from its
+    output through quantization-commuting ops (maxpool/route/reorg/upsample-scale-1),
+    or None when absent/ambiguous. Quantization (monotone trunc+clamp) commutes
+    exactly with max/concat/permute/repeat, so a producer can emit pre-quantized
+    int8 activations for its downstream int8 conv; static analysis keeps only the
+    unique-consumer case (a shared output feeding two int8 convs could have two
+    different input multipliers)."""
+    consumers = _consumers(spec)
     targets: dict[int, object] = {}
 
     def target_of(i: int):
@@ -117,18 +125,10 @@ def _fused_stage_runs(spec: ModelSpec, int8_set: set) -> dict:
     whose INTERIOR outputs feed nothing outside the run (so the fused Pallas
     kernel may keep the whole trunk VMEM-resident — ops/pallas_fused.py).
     Returns {start_conv_index: [(i_conv1, i_conv2, i_shortcut), ...]}; runs are
-    split so per-run weights + trunk + t1q stay under a VMEM budget.
+    split so per-run weights + trunk + t1q stay under a VMEM budget (a run
+    whose FIXED footprint alone busts the budget is left on the XLA path).
     """
-    consumers: dict[int, list] = {i: [] for i in range(spec.n)}
-    for l in spec.layers:
-        if isinstance(l, RouteSpec):
-            for j in l.layers:
-                consumers[j].append(l.index)
-        elif isinstance(l, ShortcutSpec):
-            consumers[l.from_index].append(l.index)
-            consumers[l.index - 1].append(l.index)
-        elif l.index > 0:
-            consumers[l.index - 1].append(l.index)
+    consumers = _consumers(spec)
 
     def block_at(i):
         """(i, i+1, i+2) is a fusible residual block starting at conv index i."""
@@ -136,11 +136,13 @@ def _fused_stage_runs(spec: ModelSpec, int8_set: set) -> dict:
             return None
         l1, l2, ls = spec.layers[i], spec.layers[i + 1], spec.layers[i + 2]
         if not (isinstance(l1, ConvSpec) and l1.size == 1 and l1.stride == 1
-                and l1.pad == 0 and l1.activation == "leaky" and i in int8_set):
+                and l1.pad == 0 and l1.activation == "leaky" and i in int8_set
+                and not l1.xnor):
             return None
         if not (isinstance(l2, ConvSpec) and l2.size == 3 and l2.stride == 1
                 and l2.pad == 1 and l2.activation == "leaky"
-                and (i + 1) in int8_set):
+                and (i + 1) in int8_set and not l2.xnor
+                and l2.n == l1.c):   # 3x3 output must match the trunk width
             return None
         if not (isinstance(ls, ShortcutSpec) and ls.from_index == i - 1
                 and ls.activation == "linear"):
@@ -172,10 +174,11 @@ def _fused_stage_runs(spec: ModelSpec, int8_set: set) -> dict:
         WP = (W + 2 + 31) // 32 * 32
         fixed = (H + 3) * WP * (C * 4 + C2)            # trunk f32 + t1q int8
         per_block = C * C2 + 9 * C2 * C + 4 * (C + C2)  # int8 weights + f32 biases
-        kmax = max(1, (_FUSED_VMEM_BUDGET - fixed) // per_block)
-        for s in range(0, len(run), kmax):
-            chunk = run[s: s + kmax]
-            runs[chunk[0][0]] = chunk
+        kmax = (_FUSED_VMEM_BUDGET - fixed) // per_block
+        if kmax >= 1:   # fixed footprint alone busting the budget -> XLA path
+            for s in range(0, len(run), kmax):
+                chunk = run[s: s + kmax]
+                runs[chunk[0][0]] = chunk
         i = run[-1][2] + 1
     return runs
 
@@ -204,15 +207,24 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
     change (<= 1 bf16 ulp per materialized tensor, ~2-3 decimal digits kept).
     Head inputs are upcast back to f32 so decode math is unchanged.
     """
+    if int8_impl not in ("xla", "pallas", "fused"):
+        raise ValueError(f"unknown int8_impl {int8_impl!r} "
+                         "(expected xla, pallas, or fused)")
+    if xnor_impl not in ("int8", "pallas", "pallas_mxu"):
+        raise ValueError(f"unknown xnor_impl {xnor_impl!r} "
+                         "(expected int8, pallas, or pallas_mxu)")
     if mode == "int8" and int8_policy == "cpu_old":
         return build_forward_int8_old(spec)
     int8_set = _int8_layer_set(spec, int8_policy) if mode == "int8" else set()
     chain = _int8_chain_targets(spec, int8_set) if (
         mode == "int8" and int8_chain) else {}
     # int8_impl="fused": residual stages run as one Pallas kernel with the
-    # trunk VMEM-resident (ops/pallas_fused.py) — bit-exact to the XLA path
+    # trunk VMEM-resident (ops/pallas_fused.py) — bit-exact to the XLA path.
+    # The kernel implements the CPU requant semantics only, so it gates on
+    # int8_policy (the gpu flavor keeps its XLA lowering).
     fused_runs: dict[int, list] = {}
-    if (mode == "int8" and int8_impl == "fused" and not capture_conv_inputs):
+    if (mode == "int8" and int8_impl == "fused" and int8_policy == "cpu"
+            and not capture_conv_inputs):
         fused_runs = _fused_stage_runs(spec, int8_set)
         if jax.default_backend() == "tpu":
             # DMA lane tiling requires the trunk channel count % 128
