@@ -62,6 +62,32 @@ def _enable_compile_cache():
         pass
 
 
+def with_timeout(fn, seconds, label):
+    """Run ``fn()`` in a daemon thread; on timeout raise instead of hanging.
+
+    The relay occasionally WEDGES mid-probe (CLAUDE.md): a blocked device
+    fetch is unkillable, but the main thread can abandon it and still emit
+    the driver-facing JSON line. The wedged daemon thread dies with the
+    process."""
+    import threading
+    box = {}
+
+    def work():
+        try:
+            box["val"] = fn()
+        except Exception as e:   # surfaced as the probe's failure
+            box["err"] = e
+
+    t = threading.Thread(target=work, daemon=True, name=label)
+    t.start()
+    t.join(seconds)
+    if t.is_alive():
+        raise TimeoutError(f"{label}: no result in {seconds}s (relay wedge?)")
+    if "err" in box:
+        raise box["err"]
+    return box["val"]
+
+
 def median_spread(run, n=5):
     """Median-of-n with (min, max): the relay's throughput is noisy run-to-run,
     and best-of-N enshrines single-run highs (round-1 lesson). ``run()`` returns
@@ -172,10 +198,10 @@ def main():
 
     # --- parsed secondary: turbo (bf16-materialized activations, f32 math) --
     try:
-        tms, tms_min, tms_max = device_resident_ms_img(
+        tms, tms_min, tms_max = with_timeout(lambda: device_resident_ms_img(
             spec, quantize_params(spec, params), "int8", int8_policy="cpu",
             int8_chain=True, compute_dtype=jnp.bfloat16,
-            residual_dtype=jnp.bfloat16)
+            residual_dtype=jnp.bfloat16), 900, "turbo probe")
         extra["int8_turbo_device_ms_img"] = round(tms, 3)
         extra["int8_turbo_device_ms_img_spread"] = [round(tms_min, 3),
                                                    round(tms_max, 3)]
@@ -187,8 +213,9 @@ def main():
 
     # --- parsed secondary: bf16 device-resident -----------------------------
     try:
-        bms, bms_min, bms_max = device_resident_ms_img(
-            spec, params, "fp32", compute_dtype=jnp.bfloat16)
+        bms, bms_min, bms_max = with_timeout(lambda: device_resident_ms_img(
+            spec, params, "fp32", compute_dtype=jnp.bfloat16),
+            900, "bf16 probe")
         extra["bf16_device_ms_img"] = round(bms, 3)
         extra["bf16_device_ms_img_spread"] = [round(bms_min, 3),
                                               round(bms_max, 3)]
@@ -208,9 +235,10 @@ def main():
                                  packed_dtype=jnp.float16)
         yuv = (np.random.RandomState(1).rand(batch, spec.net.h * 3 // 2,
                                              spec.net.w) * 255).astype(np.uint8)
-        pipe(yuv)  # compile
-        img_s, lo, hi = streamed_img_s(pipe, yuv, depth=3, n_batches=64,
-                                       runs=5)
+        with_timeout(lambda: pipe(yuv), 900, "yuv compile")  # compile
+        img_s, lo, hi = with_timeout(
+            lambda: streamed_img_s(pipe, yuv, depth=3, n_batches=64, runs=5),
+            1200, "yuv streamed probe")
         spread_pct = 100.0 * (hi - lo) / img_s
         extra["yuv_stream_img_s"] = round(img_s, 1)
         extra["yuv_stream_img_s_spread"] = [round(lo, 1), round(hi, 1)]
