@@ -125,6 +125,10 @@ def main(argv=None) -> int:
         # reference: file_error() prints and exits (src/additionally.c:1601-1606)
         print(f"Couldn't open file: {e.filename or e}", file=sys.stderr)
         return 1
+    except ValueError as e:
+        # bad flag values (unknown -int8_impl/-xnor_kernel/-int8_policy, ...)
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
     finally:
         stop.set()
         sys.stdout, sys.stderr = out, err
