@@ -112,6 +112,34 @@ def test_fused_equals_xla_across_split_runs(tmp_path):
                                   np.asarray(jf(dev, x)[0]))
 
 
+def test_route_on_stage_output_splits_runs(tmp_path):
+    """A route tapping a MID-stage shortcut output must stop the run
+    extension there (that output must materialize to HBM), while both
+    halves still fuse — and the full forward stays bit-exact."""
+    text = open(CFG).read().replace(
+        "[convolutional]\nbatch_normalize=1\nfilters=64\nsize=3\nstride=2",
+        "[route]\nlayers=-4, -1\n\n[convolutional]\nbatch_normalize=1\n"
+        "filters=64\nsize=3\nstride=2", 1)
+    p = tmp_path / "mini-res-routed.cfg"
+    p.write_text(text)
+    spec = parse_network_cfg(str(p))
+    runs = _fused_stage_runs(spec, _int8_layer_set(spec, "cpu"))
+    # mini-res stage 1 was blocks (2,3,4)+(5,6,7) in ONE run; the route (new
+    # layer 8) reads shortcut 4 (via -4) -> split into two single-block runs
+    assert runs[2] == [(2, 3, 4)]
+    assert runs[5] == [(5, 6, 7)]
+    spec, params, _ = build_params(str(p), None, quantized=True, seed=7)
+    dev = params_to_device(params)
+    x = np.random.RandomState(4).rand(1, spec.net.h, spec.net.w,
+                                      spec.net.c).astype(np.float32)
+    plain = build_forward(spec, "int8", int8_policy="cpu")
+    fused = build_forward(spec, "int8", int8_policy="cpu", int8_impl="fused")
+    jp = jax.jit(lambda q, v: tuple(h.data for h in plain(q, v)[0]))
+    jf = jax.jit(lambda q, v: tuple(h.data for h in fused(q, v)[0]))
+    np.testing.assert_array_equal(np.asarray(jp(dev, x)[0]),
+                                  np.asarray(jf(dev, x)[0]))
+
+
 def test_xnor_blocks_are_not_fused(tmp_path):
     """The fused kernel implements plain int8 conv math; an xnor=1 conv in
     the block must disqualify it (the XLA path takes the xnor branch)."""
