@@ -181,7 +181,15 @@ def main():
     spec = parse_network_cfg(cfg, batch=1)
     params = sparse_head_biases(
         spec, fuse_conv_batchnorm(spec, random_params(spec, seed=0)))
-    log(f"device: {jax.devices()[0]}")
+    # fail FAST if the relay is down: backend init can otherwise block
+    # indefinitely (observed: 28 min hang then UNAVAILABLE)
+    try:
+        dev = with_timeout(lambda: jax.devices()[0], 900, "backend init")
+    except Exception as e:
+        log(f"FATAL: TPU backend unavailable ({e}); no metric this run — "
+            "the relay is down, not the framework. Re-run when it recovers.")
+        sys.exit(2)
+    log(f"device: {dev}")
 
     extra = {}
 
