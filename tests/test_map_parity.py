@@ -182,3 +182,27 @@ def test_map_device_nms_matches_host_nms(dataset, tmp_path):
     assert host["tp"] == dev["tp"]
     assert host["fp"] == dev["fp"]
     assert abs(host["mAP"] - dev["mAP"]) < 1e-9
+
+
+def test_map_turbo_close_to_exact(dataset, tmp_path):
+    """-turbo (bf16-materialized activations, TPU-native extension): the
+    dataset-level accuracy impact must be bounded — same truth accounting and
+    mAP within ~2 points of the bit-exact int8 path even on a DENSE
+    random-weight net (real sparse nets sit far from decision boundaries;
+    this is the adversarial case for bf16 rounding)."""
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec = parse_network_cfg(cfg, batch=1)
+    weights = str(tmp_path / "w.weights")
+    save_weights(spec, random_params(spec, seed=11), weights)
+    from yolo2_light_tpu.apps.map import validate_detector_map
+    exact = validate_detector_map(dataset["data"], cfg, weights, thresh=0.24,
+                                  batch=3, k=4096, quantized=True)
+    turbo = validate_detector_map(dataset["data"], cfg, weights, thresh=0.24,
+                                  batch=3, k=4096, quantized=True, turbo=True)
+    assert exact["unique_truth_count"] == turbo["unique_truth_count"]
+    # bf16 materialization moves borderline boxes; the aggregate metrics
+    # must stay in-family (the bound claimed by README's turbo paragraph)
+    assert abs(exact["detections_count"] - turbo["detections_count"]) <= max(
+        5, 0.05 * exact["detections_count"])
+    assert abs(exact["mAP"] - turbo["mAP"]) < 0.02
+    assert abs(exact["avg_iou"] - turbo["avg_iou"]) < 0.02
