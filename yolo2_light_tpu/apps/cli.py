@@ -19,7 +19,11 @@ residual stages as single Pallas kernels with the trunk VMEM-resident,
 bit-exact on hardware but measured slower than the default XLA engine —
 ops/pallas_fused.py, PERF_NOTES.md),
 -uint8_ingest / -no_uint8_ingest (demo: force/disable uint8 frame shipping
-independently of compute dtype), -parallel N -tp M -sp K
+independently of compute dtype),
+-device_resize (demo: ship SOURCE-resolution frames; the darknet-exact
+bilinear resize runs on device — frees the serving host, and uint8 ingest
+then carries raw camera bytes with no re-quantization),
+-parallel N -tp M -sp K
 (map sharding: data x tensor x spatial mesh axes),
 -params_cache DIR (converted-weights cache),
 -input_calibration N / -calib_method device|host (calibrate), -profile DIR, -i N,
@@ -162,6 +166,7 @@ def _main(argv=None) -> int:
     # (experimental per-conv kernel, ops/pallas_int8.py)
     int8_impl = _find_value(args, "-int8_impl", "xla")
     device_nms = _find_flag(args, "-device_nms")
+    device_resize = _find_flag(args, "-device_resize")
     # demo ingest precision override (default: uint8 under bf16, float otherwise)
     uint8_ingest = None
     if _find_flag(args, "-uint8_ingest"):
@@ -271,6 +276,7 @@ def _main(argv=None) -> int:
              prefix=prefix, cam_index=cam_index, frame_skip=frame_skip,
              batch=batch, params_cache=params_cache, device_nms=device_nms,
              uint8_ingest=uint8_ingest, turbo=turbo, int8_impl=int8_impl,
+             device_resize=device_resize,
              **({"k": topk} if topk > 0 else {}))
         return 0
     print(f"Not an option: {sub}", file=sys.stderr)

@@ -25,7 +25,8 @@ from ..pipeline import DetectionPipeline
 from .detect import build_params
 
 
-def _frames(cap, netw, neth, q, stop, uint8_ingest: bool):
+def _frames(cap, netw, neth, q, stop, uint8_ingest: bool,
+            device_resize: bool):
     import cv2
 
     def offer(item) -> bool:
@@ -43,15 +44,23 @@ def _frames(cap, netw, neth, q, stop, uint8_ingest: bool):
         ok, frame = cap.read()
         if not ok:
             break
-        rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
-        sized = im_io.resize_image(rgb, netw, neth)
-        if uint8_ingest:
-            # ship uint8: 4x fewer H2D bytes per frame (a measured 6x e2e FPS
-            # win through the relay). The cost is <=1/510 per-pixel ingest
-            # error from re-quantizing the resized frame — a deliberate
-            # speed/accuracy trade for the bf16 demo mode (which is already
-            # non-parity); fp32 and -quantized runs keep float ingest
-            sized = (sized * 255.0 + 0.5).astype(np.uint8)
+        rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)  # uint8, source dims
+        if device_resize:
+            # ship the RAW frame; /255 + darknet-exact bilinear run on device
+            # (pipeline auto-resize) — no host resize, and uint8 here is the
+            # camera's native precision (no re-quantization step at all)
+            sized = rgb if uint8_ingest else rgb.astype(np.float32) / 255.0
+        else:
+            sized = im_io.resize_image(rgb.astype(np.float32) / 255.0,
+                                       netw, neth)
+            if uint8_ingest:
+                # ship uint8: 4x fewer H2D bytes per frame (a measured 6x e2e
+                # FPS win through the relay). The cost is <=1/510 per-pixel
+                # ingest error from re-quantizing the resized frame — a
+                # deliberate speed/accuracy trade for the bf16 demo mode
+                # (which is already non-parity); fp32 and -quantized runs
+                # keep float ingest
+                sized = (sized * 255.0 + 0.5).astype(np.uint8)
         if not offer((rgb, sized)):
             return
     offer(None)
@@ -63,13 +72,19 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
          compute_dtype=None, prefix=None, frame_skip: int = 0,
          batch: int = 0, params_cache=None, device_nms: bool = False,
          k: int = 256, uint8_ingest=None, turbo: bool = False,
-         int8_impl: str = "xla") -> int:
+         int8_impl: str = "xla", device_resize: bool = False) -> int:
     """Returns number of frames processed. Dense convs default to bf16 on the MXU
     (real-time video favors speed; non-quantized frames then also ship as
     uint8 — 4x fewer H2D bytes at <=1/510 per-pixel ingest error); pass
     compute_dtype=jnp.float32 for full fp32 with float ingest.
     ``batch``: frames per device step (default: 4 for file sources — throughput;
-    1 for cameras — latency)."""
+    1 for cameras — latency).
+    ``device_resize``: ship frames at SOURCE resolution and run the
+    darknet-exact bilinear resize on device (ops/resize.py) — frees the
+    serving host of per-frame resize work; uint8 ingest then carries the
+    camera's raw bytes (no re-quantization error), so it defaults ON. H2D
+    bytes scale with the source instead of the net dims — prefer it on
+    direct-attached hosts or when the source is near/below net size."""
     import cv2
     import jax.numpy as jnp
 
@@ -106,10 +121,14 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
     # uint8_ingest=True/False (CLI -uint8_ingest/-no_uint8_ingest) overrides,
     # decoupling ingest precision from compute dtype.
     if uint8_ingest is None:
-        uint8_ingest = cd == jnp.bfloat16 and not quantized
+        # device_resize ships raw camera bytes — uint8 is then the EXACT
+        # source representation (the /255 and resize happen on device in f32),
+        # so it is safe for every compute mode including -quantized
+        uint8_ingest = (True if device_resize
+                        else cd == jnp.bfloat16 and not quantized)
     t = threading.Thread(target=_frames,
                          args=(cap, spec.net.w, spec.net.h, q, stop,
-                               uint8_ingest), daemon=True)
+                               uint8_ingest, device_resize), daemon=True)
     t.start()
 
     # rgb frames ride alongside the device batches; stream() yields in submission
@@ -171,10 +190,15 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
                 # advance itself (main.c:538-548)
                 if delay == 0 or last_bgr is None:
                     # video path draws class-name label text like the
-                    # reference's draw_detections_cv_v3 (src/main.c:274-357)
-                    im_io.draw_detections_cv(rgb, dets, names, thresh, classes)
+                    # reference's draw_detections_cv_v3 (src/main.c:274-357).
+                    # frames ride the queue as uint8 and convert lazily here —
+                    # skipped (delay-gated) frames never pay the f32 pass, and
+                    # the final PNG/BGR quantizes back to uint8 anyway
+                    rgbf = rgb.astype(np.float32) / 255.0
+                    im_io.draw_detections_cv(rgbf, dets, names, thresh,
+                                             classes)
                     last_bgr = cv2.cvtColor(
-                        (np.clip(rgb, 0, 1) * 255).astype(np.uint8),
+                        (np.clip(rgbf, 0, 1) * 255).astype(np.uint8),
                         cv2.COLOR_RGB2BGR)
                     if writer is not None:
                         # writer cadence: one frame per (frame_skip+1) source

@@ -47,8 +47,11 @@ def yuv420_to_rgb(x):
 class DetectionPipeline:
     """End-to-end detector: ``__call__(images) -> list[Detections]``.
 
-    ``images``: [B,H,W,C] uint8 (preferred, [0,255]) or float32 in [0,1], already
-    resized to net dims.
+    ``images``: [B,H,W,C] uint8 (preferred, [0,255]) or float32 in [0,1].
+    Frames whose spatial dims differ from the net's are resized ON DEVICE with
+    the darknet-exact bilinear (ops/resize.py) — ship raw camera frames and
+    keep the serving host out of the resize entirely (all frames of a batch
+    share one source size; one jit program per distinct source size).
 
     ``device_nms=True`` fuses exact greedy NMS (post/device_nms.py) into the
     jitted program: the packed buffer arrives pre-suppressed and the host skips
@@ -106,6 +109,14 @@ class DetectionPipeline:
                 x = yuv420_to_rgb(x)
             if x.dtype == jnp.uint8:
                 x = x.astype(jnp.float32) * (1.0 / 255.0)
+            if x.shape[1] != neth or x.shape[2] != netw:
+                # source-resolution frames: darknet-exact bilinear resize ON
+                # DEVICE (ops/resize.py) — the reference resizes every input to
+                # net dims on the host (src/main.c:188, additionally.c:3021);
+                # shipping raw camera bytes instead frees the serving host and,
+                # with uint8 ingest, removes the resize-then-requantize error
+                from .ops.resize import device_resize_image
+                x = device_resize_image(x, netw, neth)
             heads, _ = fwd(p, x)
             packed = decode_and_compact_packed([h.data for h in heads],
                                                head_specs, netw, neth, thresh, k)
@@ -178,6 +189,17 @@ class DetectionPipeline:
         """Blocking half of :meth:`dispatch`: one D2H fetch, saturation
         handling (auto-grow re-run of the kept input batch), host finish."""
         pipe, raw_dev, images = ticket
+        if im_sizes is None:
+            # device-resized source frames: coordinates correct back to the
+            # SOURCE dims by default, matching the reference's im.w/im.h
+            # arguments (src/main.c:222)
+            shp = np.shape(images)
+            if len(shp) == 3:                       # planar YUV420 [B,H*3/2,W]
+                sw, sh = shp[2], shp[1] * 2 // 3
+            else:
+                sw, sh = shp[2], shp[1]
+            if (sw, sh) != (pipe.spec.net.w, pipe.spec.net.h):
+                im_sizes = [(sw, sh)] * shp[0]
         packed = np.asarray(raw_dev).astype(np.float32)  # one D2H transfer
         rows = pipe.k + 1 if pipe.device_nms else pipe.k  # +1: flag row
         if pipe.device_nms:
