@@ -73,3 +73,26 @@ def test_xnor_pipeline(oracle, names_file, tmp_path, seed):
     otext = run_oracle_detect(oracle, names_file, cfg, weights, IMAGE)
     utext = run_ours_detect(["aaa", "bbb", "ccc"], cfg, weights, IMAGE)
     assert_detections_match(otext, utext, context=f"xnor seed={seed}")
+
+
+def test_print_rounding_matches_c_round():
+    """The detection print uses C99 round() semantics: half AWAY from zero and
+    sign-preserving — a left_x in (-0.5, 0) prints as '-0' under %4.0f
+    (reference main.c:93; caught by a CLI diff against the oracle)."""
+    import numpy as np
+    from yolo2_light_tpu.post.boxes import Detections, _c_round, format_detections
+
+    assert f"{_c_round(-0.4):4.0f}" == "  -0"
+    assert f"{_c_round(0.4):4.0f}" == "   0"
+    assert f"{_c_round(2.5):4.0f}" == "   3"      # half away from zero
+    assert f"{_c_round(-2.5):4.0f}" == "  -3"
+    assert f"{_c_round(3.5):4.0f}" == "   4"      # banker's would give 4 too
+    assert f"{_c_round(0.49999999999999994):4.0f}" == "   0"  # fl(|v|+0.5)==1.0
+
+    # end-to-end: a box whose left edge lands in (-0.5, 0) pixels
+    dets = Detections(
+        bbox=np.array([[0.05, 0.5, 0.102, 0.4]], np.float32),  # left = -0.001
+        objectness=np.array([0.9], np.float32),
+        prob=np.array([[0.9]], np.float32))
+    out = format_detections(dets, ["aaa"], 0.24, 100, 100)
+    assert "left_x:   -0" in out

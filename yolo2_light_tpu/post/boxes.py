@@ -320,6 +320,20 @@ def do_nms(boxes: np.ndarray, probs: np.ndarray, classes: int,
 # ---------------------------------------------------------------------------
 
 
+def _c_round(v: float) -> float:
+    """C99 ``round()``: half away from zero, SIGN-PRESERVING — a left_x in
+    (-0.5, 0) prints as ``-0`` under the reference's ``%4.0f`` (main.c:93).
+    Python's ``round`` is banker's rounding and returns int 0 there, which
+    printed as ``0`` (caught by a CLI diff against the oracle). The floor
+    formulation backs off the one float where ``|v|+0.5`` rounds up past the
+    true half (0.49999999999999994)."""
+    import math
+    r = math.floor(abs(v) + 0.5)
+    if r - 0.5 > abs(v):   # r-0.5 is exact for integral r, unlike r-abs(v)
+        r -= 1.0
+    return math.copysign(r, v)
+
+
 def format_detections(dets: Detections, names, thresh: float, im_w: int, im_h: int,
                       ext_output: bool = True) -> str:
     """Reference print: best-class detections sorted by left edge; line
@@ -341,8 +355,8 @@ def format_detections(dets: Detections, names, thresh: float, im_w: int, im_h: i
         if ext_output:
             line += ("\t(left_x: {:4.0f}   top_y: {:4.0f}   width: {:4.0f}   "
                      "height: {:4.0f})").format(
-                round((x - bw / 2) * im_w), round((y - bh / 2) * im_h),
-                round(bw * im_w), round(bh * im_h))
+                _c_round((x - bw / 2) * im_w), _c_round((y - bh / 2) * im_h),
+                _c_round(bw * im_w), _c_round(bh * im_h))
         lines.append(line)
         for j in range(dets.prob.shape[1]):
             if dets.prob[i, j] > thresh and j != bc:
