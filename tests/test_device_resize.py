@@ -126,3 +126,29 @@ def test_demo_device_resize(tmp_path):
     while cap.read()[0]:
         frames += 1
     assert frames == 6
+
+
+def test_device_resize_under_sharded_mesh():
+    """Source-resolution ingest composes with the dp x sp x tp mesh: the
+    resize's row gather lives upstream of the spatial sharding and GSPMD
+    handles the re-shard; detections match the meshless run."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from yolo2_light_tpu.apps.detect import build_params
+    from yolo2_light_tpu.pipeline import DetectionPipeline
+    from yolo2_light_tpu.parallel.mesh import make_mesh
+
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec, params, mode = build_params(cfg, None, seed=3)
+    mesh = make_mesh(8, data=2, space=2, model=2)
+    pipe = DetectionPipeline(spec, params, mode, thresh=0.4, nms=0.4, k=256,
+                             mesh=mesh)
+    rng = np.random.RandomState(1)
+    src = (rng.rand(2, 96, 128, 3) * 255).astype(np.uint8)
+    dets = pipe(src)
+    pipe0 = DetectionPipeline(spec, params, mode, thresh=0.4, nms=0.4, k=256)
+    dets0 = pipe0(src)
+    for a, b in zip(dets, dets0):
+        assert a.n == b.n
+        np.testing.assert_allclose(a.bbox, b.bbox, rtol=0, atol=1e-5)
