@@ -96,3 +96,45 @@ def test_print_rounding_matches_c_round():
         prob=np.array([[0.9]], np.float32))
     out = format_detections(dets, ["aaa"], 0.24, 100, 100)
     assert "left_x:   -0" in out
+
+
+def test_predictions_png_pixel_parity(oracle, names_file, tmp_path):
+    """The saved predictions.png must match the oracle PIXEL-FOR-PIXEL:
+    same boxes, same palette colors, same prob-ascending draw layering
+    (compare_by_probs, main.c:73-78,107), same 255*val uint8 truncation
+    (save_image_png, additionally.c:3218). PNG encoders differ (stb vs PIL)
+    so the comparison decodes both."""
+    import subprocess
+    from PIL import Image
+    from yolo2_light_tpu.apps.detect import build_predictor, detect_image
+    from yolo2_light_tpu.io import image as im_io
+    from yolo2_light_tpu.cfg import parse_network_cfg
+    from yolo2_light_tpu.weights import random_params, save_weights
+
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec = parse_network_cfg(cfg, batch=1)
+    weights = str(tmp_path / "w.weights")
+    save_weights(spec, random_params(spec, seed=11), weights)
+    rng = np.random.RandomState(3)
+    img = str(tmp_path / "img.png")
+    Image.fromarray((rng.rand(80, 100, 3) * 255).astype(np.uint8)).save(img)
+
+    # oracle writes predictions.png into its CWD
+    res = subprocess.run(
+        [oracle, "detector", "test", names_file, cfg, weights, img,
+         "-thresh", "0.24", "-dont_show"],
+        capture_output=True, text=True, timeout=600, cwd=str(tmp_path))
+    assert res.returncode == 0, res.stderr[-1500:]
+    oracle_px = np.asarray(
+        Image.open(tmp_path / "predictions.png").convert("RGB"))
+
+    names = ["aaa", "bbb", "ccc"]
+    spec2, pred = build_predictor(cfg, weights)
+    dets, im, _ = detect_image(pred, spec2, img, 0.24, 0.4, names)
+    im_io.draw_detections(im, dets, names, 0.24, 3)
+    ours = str(tmp_path / "ours.png")
+    im_io.save_image_png(im, ours)
+    ours_px = np.asarray(Image.open(ours).convert("RGB"))
+
+    assert oracle_px.shape == ours_px.shape
+    np.testing.assert_array_equal(ours_px, oracle_px)

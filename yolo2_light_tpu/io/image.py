@@ -178,7 +178,12 @@ def draw_detections_cv(im: np.ndarray, dets, names, thresh: float,
 
 def draw_detections(im: np.ndarray, dets, names, thresh: float, classes: int) -> None:
     """Draw surviving detections on the image in place
-    (reference: draw_detections_v3 image-output part, src/main.c:105-148)."""
+    (reference: draw_detections_v3 image-output part, src/main.c:105-148).
+
+    Boxes draw in ASCENDING best-class-probability order (the reference's
+    compare_by_probs qsort, main.c:73-78,107) so the most confident box lands
+    on top where outlines overlap — pixel-level predictions.png parity needs
+    this layering (ties: qsort order is unspecified; we use a stable sort)."""
     best_class = np.full(dets.n, -1)
     best_prob = np.full(dets.n, thresh, np.float32)
     for j in range(dets.prob.shape[1]):
@@ -187,7 +192,8 @@ def draw_detections(im: np.ndarray, dets, names, thresh: float, classes: int) ->
         best_prob[better] = dets.prob[better, j]
     h, w = im.shape[:2]
     width = max(1, int(h * 0.006))
-    for i in np.nonzero(best_class >= 0)[0]:
+    sel = np.nonzero(best_class >= 0)[0]
+    for i in sel[np.argsort(best_prob[sel], kind="stable")]:
         offset = int(best_class[i]) * 123457 % classes
         rgb = (get_color(2, offset, classes), get_color(1, offset, classes),
                get_color(0, offset, classes))
