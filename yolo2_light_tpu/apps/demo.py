@@ -166,6 +166,7 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
     stop_all = False
     last_bgr = None  # the reference's disp/show_img analog: the most recently
     #                  drawn frame, re-saved on gated iterations
+    last_objects = ""  # object lines of the most recently drawn frame
     try:
         import itertools
         # tee keeps batches and sizes in lockstep no matter how stream()
@@ -195,8 +196,15 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
                     # skipped (delay-gated) frames never pay the f32 pass, and
                     # the final PNG/BGR quantizes back to uint8 anyway
                     rgbf = rgb.astype(np.float32) / 255.0
+                    # object lines print under the FPS block's "Objects:"
+                    # header (the reference printf's them from inside the
+                    # draw, main.c:294; its screen-clear + header land first
+                    # because they were printed the iteration before)
+                    import io as _io
+                    buf = _io.StringIO()
                     im_io.draw_detections_cv(rgbf, dets, names, thresh,
-                                             classes)
+                                             classes, echo=buf)
+                    last_objects = buf.getvalue()
                     last_bgr = cv2.cvtColor(
                         (np.clip(rgbf, 0, 1) * 255).astype(np.uint8),
                         cv2.COLOR_RGB2BGR)
@@ -226,8 +234,8 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
                     # (main.c:563-570)
                     fps = 1.0 / max(after - before, 1e-6)
                     before = after
-                    print(f"\033[2J\033[1;1H\nFPS:{fps:.1f}\nObjects:\n",
-                          file=sys.stderr)
+                    print(f"\033[2J\033[1;1H\nFPS:{fps:.1f}\nObjects:\n\n"
+                          f"{last_objects}", file=sys.stderr)
                 if max_frames is not None and count >= max_frames:
                     stop_all = True
                 if stop_all:

@@ -130,7 +130,7 @@ def draw_box_width(im: np.ndarray, left: int, top: int, right: int, bot: int,
 
 
 def draw_detections_cv(im: np.ndarray, dets, names, thresh: float,
-                       classes: int) -> None:
+                       classes: int, echo=None) -> None:
     """Video-frame drawing with class-name label text per box, in place
     (reference: draw_detections_cv_v3, src/main.c:274-357).
 
@@ -139,6 +139,10 @@ def draw_detections_cv(im: np.ndarray, dets, names, thresh: float,
     class); a filled label background spans (left, top-(10+25*font_size)) ..
     (right, top) with black text at (left, top-12), font_size = h/1000.
     Text rendering uses PIL's bitmap font instead of Hershey vectors.
+
+    ``echo``: stream to print each ``name: P% `` as it is drawn — the
+    reference printf's these from inside the draw (main.c:294), filling the
+    demo's terminal UI under its "Objects:" header.
     """
     from PIL import Image, ImageDraw
 
@@ -154,6 +158,11 @@ def draw_detections_cv(im: np.ndarray, dets, names, thresh: float,
                 if class_id < 0:
                     class_id = j
                 parts.append(names[j])
+                if echo is not None:
+                    # reference: printf("%s: %.0f%% ", ...) — one line, trailing
+                    # spaces, refreshed by the FPS block's screen clear
+                    print(f"{names[j]}: {dets.prob[i, j] * 100:.0f}% ",
+                          end="", file=echo, flush=False)
         if class_id < 0:
             continue
         offset = class_id * 123457 % classes
