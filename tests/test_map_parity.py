@@ -206,3 +206,51 @@ def test_map_turbo_close_to_exact(dataset, tmp_path):
         5, 0.05 * exact["detections_count"])
     assert abs(exact["mAP"] - turbo["mAP"]) < 0.02
     assert abs(exact["avg_iou"] - turbo["avg_iou"]) < 0.02
+
+
+def test_map_report_text_parity(oracle, dataset, tmp_path):
+    """The printed mAP block matches the oracle LINE-FOR-LINE — including the
+    rank-sweep progress markers (\\r-terminated, :4803-4806) and glibc's
+    '-nan' for the degenerate 0/0 F1 (additionally.c:4871-4875). Tolerance
+    parsers can't see formatting drift; this can."""
+    import io
+    import sys as _sys
+
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec = parse_network_cfg(cfg, batch=1)
+    weights = str(tmp_path / "w.weights")
+    save_weights(spec, random_params(spec, seed=11), weights)
+
+    res = subprocess.run(
+        [oracle, "detector", "map", dataset["data"], cfg, weights,
+         "-thresh", "0.24"],
+        capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-1500:]
+
+    from yolo2_light_tpu.apps.map import validate_detector_map
+    buf = io.StringIO()
+    old = _sys.stdout
+    _sys.stdout = buf
+    try:
+        validate_detector_map(dataset["data"], cfg, weights, thresh=0.24,
+                              batch=3, k=4096)
+    finally:
+        _sys.stdout = old
+
+    def block(text):
+        out, on = [], False
+        for line in text.splitlines():   # \r and \n both break, like the tty
+            if "detections_count" in line:
+                on = True
+            if on:
+                out.append(line.rstrip())
+            if "mean average precision" in line:
+                break
+        return out
+
+    oracle_block = block(res.stdout)
+    ours_block = block(buf.getvalue())
+    assert oracle_block, res.stdout[-500:]
+    assert ours_block == oracle_block, "\n".join(
+        f"oracle: {a!r}\nours:   {b!r}" for a, b in
+        zip(oracle_block, ours_block) if a != b)[:2000]

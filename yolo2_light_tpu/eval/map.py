@@ -171,12 +171,19 @@ class MapAccumulator:
                 ap[i] = s / 11.0
 
         tp, fp = self.tp_for_thresh, self.fp_for_thresh
-        avg_iou = self.avg_iou_sum / (tp + fp) if (tp + fp) > 0 else 0.0
-        precision = tp / (tp + fp) if (tp + fp) > 0 else 0.0
         fn = self.unique_truth_count - tp
-        recall = tp / (tp + fn) if (tp + fn) > 0 else 0.0
-        f1 = (2 * precision * recall / (precision + recall)
-              if (precision + recall) > 0 else 0.0)
+        # the reference computes these UNGUARDED in float32
+        # (additionally.c:4779,4871-4873): degenerate denominators produce the
+        # hardware QNaN (sign bit set), which glibc prints as "-nan" — e.g.
+        # F1 with tp==0 is 0/0. Reproduce the NaNs; _c_float_fmt prints them.
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tpf, fpf = np.float32(tp), np.float32(fp)
+            avg_iou = float(np.float32(self.avg_iou_sum) / (tpf + fpf))
+            precision = float(tpf / (tpf + fpf))
+            recall = float(tpf / (tpf + np.float32(fn)))
+            f1 = float(np.float32(2.0) * np.float32(precision)
+                       * np.float32(recall)
+                       / (np.float32(precision) + np.float32(recall)))
         return {
             "ap": ap,
             "mAP": float(ap.mean()) if self.classes else 0.0,
@@ -215,20 +222,36 @@ def label_path_for(image_path: str) -> str:
     return p
 
 
+def _c_float_fmt(v: float, spec: str = "1.2f") -> str:
+    """C printf float formatting including glibc's NaN spelling: the x86
+    default QNaN has its sign bit set, so the reference's degenerate 0/0
+    metrics print as ``-nan`` (observed vs the compiled oracle)."""
+    if np.isnan(v):
+        return "-nan" if np.signbit(v) else "nan"
+    return format(float(v), spec)
+
+
 def format_map_report(result: dict, names, iou_thresh: float,
                       thresh: float) -> str:
-    """Reproduce the reference's printed block (src/additionally.c:4846-4895)."""
+    """Reproduce the reference's printed block (src/additionally.c:4846-4895),
+    including the rank-sweep progress markers (one per 100 ranks,
+    ``\\r``-terminated in the reference, :4803-4806) and C NaN formatting."""
     lines = [f"detections_count = {result['detections_count']}, "
              f"unique_truth_count = {result['unique_truth_count']}  "]
+    n = result["detections_count"]
+    if n:
+        lines.append("\r".join(f" rank = {r} of ranks = {n} "
+                               for r in range(0, n, 100)))
     for i, a in enumerate(result["ap"]):
         name = names[i] if i < len(names) else str(i)
         lines.append(f"class_id = {i}, name = {name}, \t ap = {a * 100:2.2f} % ")
     lines.append(f" for thresh = {thresh:1.2f}, precision = "
-                 f"{result['precision']:1.2f}, recall = {result['recall']:1.2f}, "
-                 f"F1-score = {result['f1']:1.2f} ")
+                 f"{_c_float_fmt(result['precision'])}, recall = "
+                 f"{_c_float_fmt(result['recall'])}, "
+                 f"F1-score = {_c_float_fmt(result['f1'])} ")
     lines.append(f" for thresh = {thresh:0.2f}, TP = {result['tp']}, "
                  f"FP = {result['fp']}, FN = {result['fn']}, "
-                 f"average IoU = {result['avg_iou'] * 100:2.2f} % ")
+                 f"average IoU = {_c_float_fmt(result['avg_iou'] * 100, '2.2f')} % ")
     if iou_thresh == 0.5:
         lines.append(f"\n mean average precision (mAP) = {result['mAP']:f}, "
                      f"or {result['mAP'] * 100:2.2f} % ")
