@@ -89,3 +89,28 @@ def test_entropy_calibration_device_matches_host():
         host = entropy_calibration(c, 1.0 / 16, 4096)
         # multiplier = 127/((idx+.5)/16); one-bin slack ~= 1/(2*idx) relative
         assert abs(d - host) <= 0.02 * host, (float(d), host)
+
+
+def test_calibrate_host_file_byte_parity(oracle, calib_dataset, tmp_path):
+    """-calib_method host is the bit-exact oracle mode: the written
+    input_calibration.txt must match the reference's BYTE-FOR-BYTE
+    (same %g-formatted multipliers, same ', 16' tail —
+    src/yolov2_forward_network.c:754-771)."""
+    cfg = os.path.join(DATA, "mini-calib.cfg")
+    spec = parse_network_cfg(cfg, batch=1)
+    weights = str(tmp_path / "w.weights")
+    save_weights(spec, random_params(spec, seed=21), weights)
+
+    res = subprocess.run(
+        [oracle, "detector", "calibrate", calib_dataset, cfg, weights,
+         "-input_calibration", "2"],
+        capture_output=True, text=True, timeout=600,
+        cwd=str(tmp_path), stdin=subprocess.DEVNULL)
+    calfile = tmp_path / "input_calibration.txt"
+    assert calfile.exists(), (res.stdout[-800:], res.stderr[-800:])
+
+    from yolo2_light_tpu.apps.calibrate import validate_calibrate
+    ours_path = tmp_path / "ours_calibration.txt"
+    validate_calibrate(calib_dataset, cfg, weights, input_calibration=2,
+                       out_path=str(ours_path), method="host")
+    assert ours_path.read_text() == calfile.read_text()
