@@ -243,3 +243,47 @@ activation=selu
     assert spec.layers[0].activation == "relu"
     assert ("Couldn't find activation function selu, going with ReLU"
             in capfd.readouterr().err)
+
+
+@pytest.mark.parametrize("cfgname,extra", [
+    ("mini-yolo3.cfg", []),       # conv/max/route/upsample/yolo rows
+    ("mini-res.cfg", []),         # Shortcut Layer: N rows
+    ("mini-yolo2.cfg", []),       # reorg + detection rows
+    ("mini-xnor.cfg", []),        # convX rows
+])
+def test_cli_stderr_identical_to_oracle(oracle, cfgname, extra, tmp_path):
+    """detector test's ENTIRE stderr stream is byte-identical to the oracle:
+    'Using default' lines, the construction-time layer table (header, %5d
+    index prefixes, per-type row bodies at the make_*_layer call points —
+    so e.g. a yolo section's truth_thresh default prints AFTER its row), and
+    'Loading weights from ...Done!'."""
+    import subprocess
+    import sys as _sys
+    import numpy as np
+    from PIL import Image
+    from yolo2_light_tpu.weights import random_params, save_weights
+
+    DATA = os.path.join(os.path.dirname(__file__), "data")
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = os.path.join(DATA, cfgname)
+    spec = parse_network_cfg(cfg, batch=1)
+    weights = str(tmp_path / "w.weights")
+    save_weights(spec, random_params(spec, seed=9), weights)
+    img = str(tmp_path / "i.png")
+    rng = np.random.RandomState(0)
+    Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(img)
+    names = str(tmp_path / "n.names")
+    with open(names, "w") as f:
+        f.write("aaa\nbbb\nccc\n")
+
+    args = ["detector", "test", names, cfg, weights, img,
+            "-thresh", "0.9", "-dont_show"] + extra
+    res_o = subprocess.run([oracle] + args, capture_output=True, text=True,
+                           timeout=300, cwd=os.path.dirname(oracle))
+    assert res_o.returncode == 0, res_o.stderr[-800:]
+    env = dict(os.environ, YOLO2_TPU_PLATFORM="cpu")
+    res_u = subprocess.run([_sys.executable, "-m", "yolo2_light_tpu"] + args,
+                           capture_output=True, text=True, timeout=300,
+                           cwd=REPO, env=env)
+    assert res_u.returncode == 0, res_u.stderr[-800:]
+    assert res_u.stderr == res_o.stderr

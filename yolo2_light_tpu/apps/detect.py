@@ -20,9 +20,14 @@ from ..xnor import binarize_params
 
 
 def build_params(cfgfile: str, weightfile, quantized: bool = False,
-                 batch: int = 1, seed: int = 0, params_cache=None):
+                 batch: int = 1, seed: int = 0, params_cache=None,
+                 echo: bool = True):
     """Shared init chain (reference: src/main.c:160-171 and :4552-4561):
     parse -> load/init -> BN-fuse -> XNOR-binarize -> (INT8-quantize).
+
+    ``echo``: print the reference's construction-time stderr (layer table,
+    "Loading weights from ...Done!") — on by default because this IS the
+    app-level init chain; pass False for silent library use.
 
     ``params_cache``: optional directory; the fully transformed pytree is cached
     as .npz keyed by (weights path, mtime, size, quantized, cfg content digest)
@@ -32,7 +37,8 @@ def build_params(cfgfile: str, weightfile, quantized: bool = False,
     (input_calibration= scales into the INT8 multipliers, per-layer xnor= flags
     into binarization), so e.g. pasting a fresh `detector calibrate` line into
     the cfg — or two cfgs sharing one .weights — must miss the cache."""
-    spec = parse_network_cfg(cfgfile, batch=batch, quantized=quantized)
+    spec = parse_network_cfg(cfgfile, batch=batch, quantized=quantized,
+                             echo_table=echo)
     mode = "int8" if quantized else "fp32"
 
     cpath = None
@@ -52,7 +58,7 @@ def build_params(cfgfile: str, weightfile, quantized: bool = False,
             return spec, load_params_cache(cpath, spec.n), mode
 
     if weightfile:
-        params = load_weights(spec, weightfile)
+        params = load_weights(spec, weightfile, verbose=echo)
     else:
         params = random_params(spec, seed=seed)
     params = fuse_conv_batchnorm(spec, params)

@@ -420,12 +420,21 @@ def _conv_quant_eligible(index: int, activation: str, stride: int, size: int,
     return quantized
 
 
-def parse_network_cfg(path: str, batch: int = 0, quantized: bool = False) -> ModelSpec:
+def parse_network_cfg(path: str, batch: int = 0, quantized: bool = False,
+                      echo_table: bool = False) -> ModelSpec:
     """Parse a darknet cfg into a ModelSpec.
 
     ``quantized`` mirrors the reference's ``-quantized`` flag: it seeds the per-conv
     INT8-eligibility flags (GPU rules). The CPU INT8 dispatch rule (every conv except
     index 0 / LINEAR) is applied at execution time, not here.
+
+    ``echo_table``: print the reference's construction-time stderr layer table,
+    INTERLEAVED with the option-default prints exactly as the reference emits it
+    (header after [net] options, ``"%5d "`` index prefix before each section
+    parse, row body at the ``make_*_layer`` call point — so loud option reads
+    that the reference performs after ``make`` print after the row, e.g. a
+    yolo section's ``truth_thresh: Using default``; additionally.c:3986-3989).
+    Off by default so library parses stay silent; the CLI apps turn it on.
     """
     sections = read_cfg_sections(path)
     if not sections:
@@ -437,6 +446,13 @@ def parse_network_cfg(path: str, batch: int = 0, quantized: bool = False) -> Mod
     if batch > 0:
         net = dataclasses.replace(net, batch=batch)
 
+    def echo(text, end="\n"):
+        if echo_table:
+            import sys as _sys
+            print(text, end=end, file=_sys.stderr)
+
+    echo("layer     filters    size              input                output")
+
     w, h, c = net.w, net.h, net.c
     inputs = net.inputs
     quant_state = quantized  # mutable copy of params.quantized
@@ -446,6 +462,7 @@ def parse_network_cfg(path: str, batch: int = 0, quantized: bool = False) -> Mod
     for count, s in enumerate(body):
         lt = section_layer_type(s.type)
         common = dict(index=count, w=w, h=h, c=c)
+        echo(f"{count:5d} ", end="")   # reference: fprintf("%5d ", count), :3988
 
         if lt == "convolutional":
             # yolo-lookahead permanently disables eligibility for this and later convs
@@ -484,6 +501,7 @@ def parse_network_cfg(path: str, batch: int = 0, quantized: bool = False) -> Mod
                 dontload=bool(s.find_int("dontload", 0)),
                 dontloadscales=bool(s.find_int("dontloadscales", 0)),
             )
+            echo(_row_text(layer))
 
         elif lt == "maxpool":
             stride = s.find_int("stride", 1, quiet=False)
@@ -495,6 +513,7 @@ def parse_network_cfg(path: str, batch: int = 0, quantized: bool = False) -> Mod
             out_h = (h + padding - size) // stride + 1
             layer = MaxpoolSpec(**common, out_w=out_w, out_h=out_h, out_c=c,
                                 size=size, stride=stride, pad=padding)
+            echo(_row_text(layer))
 
         elif lt == "route":
             lstr = s.find("layers")
@@ -514,6 +533,7 @@ def parse_network_cfg(path: str, batch: int = 0, quantized: bool = False) -> Mod
                     out_w = out_h = out_c = 0
             layer = RouteSpec(**common, out_w=out_w, out_h=out_h, out_c=out_c,
                               layers=tuple(idxs), input_sizes=input_sizes)
+            echo(_row_text(layer))
 
         elif lt == "reorg":
             stride = s.find_int("stride", 1, quiet=False)
@@ -526,18 +546,21 @@ def parse_network_cfg(path: str, batch: int = 0, quantized: bool = False) -> Mod
                 out_w, out_h, out_c = w // stride, h // stride, c * (stride * stride)
             layer = ReorgSpec(**common, out_w=out_w, out_h=out_h, out_c=out_c,
                               stride=stride, reverse=reverse)
+            echo(_row_text(layer))
 
         elif lt == "upsample":
             stride = s.find_int("stride", 2, quiet=False)
             scale = s.find_float("scale", 1.0)
             layer = UpsampleSpec(**common, out_w=w * stride, out_h=h * stride,
                                  out_c=c, stride=stride, scale=scale)
+            echo(_row_text(layer))
 
         elif lt == "shortcut":
             from_str = s.find("from")
             fidx = int(from_str)
             if fidx < 0:
                 fidx = count + fidx
+            echo(f"Shortcut Layer: {fidx}")  # make_shortcut_layer, :2375
             activation = get_activation(s.find_str("activation", "linear",
                                                    quiet=False))
             # out dims = input dims (reference: make_shortcut_layer)
@@ -553,6 +576,7 @@ def parse_network_cfg(path: str, batch: int = 0, quantized: bool = False) -> Mod
             if mask is None:
                 mask = tuple(range(num))
             max_boxes = s.find_int("max", 90)
+            echo("yolo")                     # make_yolo_layer, :2542
             class_map = _load_map(s.find_str("map", None), path)
             jitter = s.find_float("jitter", 0.2, quiet=False)
             focal_loss = s.find_int("focal_loss", 0)
@@ -586,6 +610,7 @@ def parse_network_cfg(path: str, batch: int = 0, quantized: bool = False) -> Mod
             coords = s.find_int("coords", 4, quiet=False)
             classes = s.find_int("classes", 20, quiet=False)
             num = s.find_int("num", 1, quiet=False)
+            echo("detection")                # make_region_layer, :2592
             log_ = s.find_int("log", 0)
             sqrt_ = s.find_int("sqrt", 0)
             softmax = bool(s.find_int("softmax", 0, quiet=False))
@@ -633,6 +658,7 @@ def parse_network_cfg(path: str, batch: int = 0, quantized: bool = False) -> Mod
 
         elif lt == "softmax":
             groups = s.find_int("groups", 1)
+            echo(f"softmax                                        {inputs:4d}")
             # reference make_softmax_layer keeps inputs==outputs, 1D
             layer = SoftmaxSpec(index=count, w=inputs, h=1, c=1,
                                 out_w=inputs, out_h=1, out_c=1,
@@ -662,42 +688,46 @@ def parse_network_cfg(path: str, batch: int = 0, quantized: bool = False) -> Mod
 # Layer-table pretty printer (parity with reference stderr table)
 # ---------------------------------------------------------------------------
 
+def _row_text(l) -> str:
+    """The exact stderr row body the reference's make_*_layer prints
+    (src/additionally.c: conv :2904-2908, max :2651, route :2453-2466,
+    reorg :2420, upsample :2365-2366, shortcut :2375, yolo :2542,
+    region :2592, softmax :2302)."""
+    if isinstance(l, ConvSpec):
+        kind = ("convXB" if l.xnor and l.bin_output
+                else "convX " if l.xnor else "conv  ")
+        return (f"{kind}{l.n:5d} {l.size:2d} x{l.size:2d} /{l.stride:2d}  "
+                f"{l.w:4d} x{l.h:4d} x{l.c:4d}   ->  "
+                f"{l.out_w:4d} x{l.out_h:4d} x{l.out_c:4d} {l.bflops:5.3f} BF")
+    if isinstance(l, MaxpoolSpec):
+        return (f"max          {l.size} x {l.size} / {l.stride}  "
+                f"{l.w:4d} x{l.h:4d} x{l.c:4d}   ->  "
+                f"{l.out_w:4d} x{l.out_h:4d} x{l.out_c:4d}")
+    if isinstance(l, RouteSpec):
+        return "route " + "".join(f" {i}" for i in l.layers)
+    if isinstance(l, ReorgSpec):
+        return (f"reorg              /{l.stride:2d}  "
+                f"{l.w:4d} x{l.h:4d} x{l.c:4d}   ->  "
+                f"{l.out_w:4d} x{l.out_h:4d} x{l.out_c:4d}")
+    if isinstance(l, UpsampleSpec):
+        return (f"upsample           {l.stride:2d}x  "
+                f"{l.w:4d} x{l.h:4d} x{l.c:4d}   ->  "
+                f"{l.out_w:4d} x{l.out_h:4d} x{l.out_c:4d}")
+    if isinstance(l, ShortcutSpec):
+        return f"Shortcut Layer: {l.from_index}"
+    if isinstance(l, YoloSpec):
+        return "yolo"
+    if isinstance(l, RegionSpec):
+        return "detection"
+    if isinstance(l, SoftmaxSpec):
+        return f"softmax                                        {l.w:4d}"
+    return type(l).__name__
+
+
 def format_layer_table(spec: ModelSpec) -> str:
     """Recreate the reference's construction-time stderr table
     (reference: make_* fprintf lines, src/additionally.c:2296-2910)."""
     lines = ["layer     filters    size              input                output"]
     for l in spec.layers:
-        p = f"{l.index:5d} "
-        if isinstance(l, ConvSpec):
-            lines.append(
-                p + f"conv  {l.n:5d} {l.size:2d} x{l.size:2d} /{l.stride:2d}  "
-                f"{l.w:4d} x{l.h:4d} x{l.c:4d}   ->  "
-                f"{l.out_w:4d} x{l.out_h:4d} x{l.out_c:4d} {l.bflops:5.3f} BF")
-        elif isinstance(l, MaxpoolSpec):
-            lines.append(
-                p + f"max          {l.size} x {l.size} / {l.stride}  "
-                f"{l.w:4d} x{l.h:4d} x{l.c:4d}   ->  "
-                f"{l.out_w:4d} x{l.out_h:4d} x{l.out_c:4d}")
-        elif isinstance(l, RouteSpec):
-            lines.append(p + "route " + " ".join(str(i) for i in l.layers))
-        elif isinstance(l, ReorgSpec):
-            lines.append(
-                p + f"reorg              /{l.stride:2d}  "
-                f"{l.w:4d} x{l.h:4d} x{l.c:4d}   ->  "
-                f"{l.out_w:4d} x{l.out_h:4d} x{l.out_c:4d}")
-        elif isinstance(l, UpsampleSpec):
-            lines.append(
-                p + f"upsample           {l.stride:2d}x  "
-                f"{l.w:4d} x{l.h:4d} x{l.c:4d}   ->  "
-                f"{l.out_w:4d} x{l.out_h:4d} x{l.out_c:4d}")
-        elif isinstance(l, ShortcutSpec):
-            lines.append(p + f"res  {l.from_index:3d}               "
-                         f"{l.w:4d} x{l.h:4d} x{l.c:4d}   ->  "
-                         f"{l.out_w:4d} x{l.out_h:4d} x{l.out_c:4d}")
-        elif isinstance(l, YoloSpec):
-            lines.append(p + "yolo")
-        elif isinstance(l, RegionSpec):
-            lines.append(p + "detection")
-        elif isinstance(l, SoftmaxSpec):
-            lines.append(p + f"softmax                                        {l.inputs}")
+        lines.append(f"{l.index:5d} " + _row_text(l))
     return "\n".join(lines)

@@ -38,7 +38,8 @@ def _read_f32(f: IO[bytes], count: int) -> np.ndarray:
     return data
 
 
-def load_weights(spec: ModelSpec, path: str, cutoff: Optional[int] = None) -> list:
+def load_weights(spec: ModelSpec, path: str, cutoff: Optional[int] = None,
+                 verbose: bool = False) -> list:
     """Read a darknet .weights file into a per-layer params list.
 
     Returns ``params`` where ``params[i]`` is ``None`` for non-conv layers and a dict
@@ -47,6 +48,12 @@ def load_weights(spec: ModelSpec, path: str, cutoff: Optional[int] = None) -> li
     """
     if cutoff is None:
         cutoff = spec.n
+    if verbose:
+        # reference: fprintf(stderr, "Loading weights from %s...", ...) then
+        # "Done!\n" after the read (src/additionally.c:3498,3527)
+        import sys as _sys
+        print(f"Loading weights from {path}...", end="", file=_sys.stderr,
+              flush=True)
     params: list = [None] * spec.n
     with open(path, "rb") as f:
         major, minor, revision = struct.unpack("<3i", f.read(12))
@@ -93,6 +100,9 @@ def load_weights(spec: ModelSpec, path: str, cutoff: Optional[int] = None) -> li
             entry["weights"] = np.transpose(
                 w.reshape(l.n, l.c, l.size, l.size), (2, 3, 1, 0)).copy()
             params[i] = entry
+    if verbose:
+        import sys as _sys
+        print("Done!", file=_sys.stderr)
     return params
 
 
