@@ -250,6 +250,10 @@ activation=selu
     ("mini-res.cfg", []),         # Shortcut Layer: N rows
     ("mini-yolo2.cfg", []),       # reorg + detection rows
     ("mini-xnor.cfg", []),        # convX rows
+    # -quantized also byte-matches stdout: Quantinization! banner,
+    # old_weight_mult / Multiplers / Skip-layer lines, per-forward
+    # '%d - CONVOLUTIONAL' lines (yolov2_forward_network_q :1039)
+    ("mini-yolo3.cfg", ["-quantized"]),
 ])
 def test_cli_stderr_identical_to_oracle(oracle, cfgname, extra, tmp_path):
     """detector test's ENTIRE stderr stream is byte-identical to the oracle:
@@ -287,3 +291,6 @@ def test_cli_stderr_identical_to_oracle(oracle, cfgname, extra, tmp_path):
                            cwd=REPO, env=env)
     assert res_u.returncode == 0, res_u.stderr[-800:]
     assert res_u.stderr == res_o.stderr
+    # stdout too, modulo the wall-clock line
+    strip = lambda t: [l for l in t.splitlines() if "Predicted in" not in l]
+    assert strip(res_u.stdout) == strip(res_o.stdout)

@@ -21,7 +21,7 @@ from ..xnor import binarize_params
 
 def build_params(cfgfile: str, weightfile, quantized: bool = False,
                  batch: int = 1, seed: int = 0, params_cache=None,
-                 echo: bool = True):
+                 echo: bool = True, quant_banner: bool = False):
     """Shared init chain (reference: src/main.c:160-171 and :4552-4561):
     parse -> load/init -> BN-fuse -> XNOR-binarize -> (INT8-quantize).
 
@@ -64,7 +64,11 @@ def build_params(cfgfile: str, weightfile, quantized: bool = False,
     params = fuse_conv_batchnorm(spec, params)
     params = binarize_params(spec, params)
     if quantized:
-        params = quantize_params(spec, params)
+        if echo and quant_banner:
+            # test/demo print this banner before quantization; the map app
+            # does not (reference: main.c:169,467 vs additionally.c:4560)
+            print("\n\n Quantinization! \n")
+        params = quantize_params(spec, params, echo=echo)
     if cpath:
         from ..weights import save_params_cache
         save_params_cache(params, cpath)
@@ -79,7 +83,8 @@ def build_predictor(cfgfile: str, weightfile, quantized: bool = False,
     import jax.numpy as jnp
     spec, params, mode = build_params(cfgfile, weightfile, quantized,
                                       batch=batch, seed=seed,
-                                      params_cache=params_cache)
+                                      params_cache=params_cache,
+                                      quant_banner=True)
     cd = compute_dtype if compute_dtype is not None else jnp.float32
     pred = Predictor(spec, params, mode, int8_policy=int8_policy,
                      compute_dtype=cd, xnor_impl=xnor_impl, turbo=turbo,
@@ -88,10 +93,13 @@ def build_predictor(cfgfile: str, weightfile, quantized: bool = False,
 
 
 def detect_image(pred, spec, filename: str, thresh: float, nms: float,
-                 names, letter: bool = False):
+                 names, letter: bool = False, echo_layers: bool = False):
     """Run one image through the predictor; returns (dets, image, elapsed).
     ``letter`` selects aspect-preserving letterbox preprocessing + the matching
-    coordinate correction (the reference app always stretches, src/main.c:189)."""
+    coordinate correction (the reference app always stretches, src/main.c:189).
+    ``echo_layers``: print the quantized forward's per-layer stdout lines
+    (every conv prints '%d - CONVOLUTIONAL ... l.size', standalone softmax
+    hits the else branch — yolov2_forward_network_q, :1039,1070)."""
     im = im_io.load_image(filename, 3)
     if letter:
         sized = im_io.letterbox_image(im, spec.net.w, spec.net.h)
@@ -101,6 +109,13 @@ def detect_image(pred, spec, filename: str, thresh: float, nms: float,
     heads = pred(im_io.to_batch(sized))
     head_outputs = [np.asarray(h.data[0]) for h in heads]
     elapsed = time.time() - t0
+    if echo_layers:
+        from ..cfg import ConvSpec, SoftmaxSpec
+        for l in spec.layers:
+            if isinstance(l, ConvSpec):
+                print(f"\n {l.index} - CONVOLUTIONAL \t\t l.size = {l.size}  ")
+            elif isinstance(l, SoftmaxSpec):
+                print(f"\n layer: 4 ")
     head_specs = pred.head_specs()
     dets = post.get_network_boxes(head_outputs, head_specs,
                                   im.shape[1], im.shape[0],
@@ -143,7 +158,7 @@ def run(names, cfgfile: str, weightfile, filename, thresh: float = 0.24,
             if not fname:
                 continue
         dets, im, elapsed = detect_image(pred, spec, fname, thresh, nms, names,
-                                         letter=letter)
+                                         letter=letter, echo_layers=quantized)
         note = ""
         if elapsed > 2.0:
             note = " (first call includes XLA compilation; repeat runs are warm)"

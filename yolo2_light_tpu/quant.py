@@ -58,7 +58,8 @@ def _max_abs_trunc(x: np.ndarray, max_val: int) -> np.ndarray:
     return np.clip(t, -max_val, max_val)
 
 
-def quantize_params(spec: ModelSpec, params: list) -> list:
+def quantize_params(spec: ModelSpec, params: list,
+                    echo: bool = False) -> list:
     """Augment fused params with INT8 fields for every conv layer
     (reference: quantinization_and_get_multipliers,
     src/yolov2_forward_network_quantized.c:1402-1494).
@@ -69,6 +70,10 @@ def quantize_params(spec: ModelSpec, params: list) -> list:
       * ``input_quant_multipler``   = cfg input_calibration[counter] or 40
       * ``output_multipler``        = next_input_mult / (w_mult * in_mult / R_MULT)
       * ``biases_quant``            = biases * (output_mult * w_mult * in_mult / R_MULT)
+
+    ``echo``: print the reference's per-layer stdout lines verbatim
+    (old_weight_mult, the short-calibration warning, "Multiplers: ...",
+    "Skip layer: <LAYER_TYPE enum value>" — :1433,1449-1452,1480-1483).
     """
     calib = spec.net.input_calibration
     out: list = []
@@ -76,13 +81,26 @@ def quantize_params(spec: ModelSpec, params: list) -> list:
     for i, l in enumerate(spec.layers):
         p = params[i]
         if p is None or not isinstance(l, ConvSpec):
+            if echo:
+                # reference prints the raw LAYER_TYPE enum value
+                # (additionally.h:376-403)
+                enum = {"MaxpoolSpec": 3, "SoftmaxSpec": 4, "RouteSpec": 8,
+                        "ShortcutSpec": 13, "RegionSpec": 21, "YoloSpec": 22,
+                        "UpsampleSpec": 23, "ReorgSpec": 24}
+                print(f" Skip layer: {enum.get(type(l).__name__, 25)} ")
             out.append(p)
             continue
         q = dict(p)
         w = np.asarray(p["weights"], np.float32)
         wq_mult = get_multiplier(w, 8) / 4.0  # "good [2 - 8], best 4"
+        if echo:
+            print(f" old_weight_mult = {wq_mult:f}, "
+                  f"weights_multiplier_single = {wq_mult:f} \n")
         q["weights_quant_multipler"] = np.float32(wq_mult)
         q["weights_int8"] = _max_abs_trunc(w * wq_mult, W_MAX_VAL).astype(np.int8)
+        if echo and counter >= len(calib):
+            print(f"\n Warning: input_calibration= in the cfg-file has less "
+                  f"values {len(calib)} than convolutional layers {counter} ")
         in_mult = calib[counter] if counter < len(calib) else 40.0
         q["input_quant_multipler"] = np.float32(in_mult)
         counter += 1
@@ -91,6 +109,10 @@ def quantize_params(spec: ModelSpec, params: list) -> list:
         q["output_multipler"] = np.float32(out_mult)
         q["biases_quant"] = (np.asarray(p["biases"], np.float32)
                              * np.float32(out_mult * wq_mult * in_mult / R_MULT))
+        if echo:
+            print(f" Multiplers: weights {float(np.float32(wq_mult)):g}, "
+                  f"input {float(np.float32(in_mult)):g}, "
+                  f"output {float(np.float32(out_mult)):g} ")
         out.append(q)
     return out
 
