@@ -89,7 +89,8 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
     import jax.numpy as jnp
 
     spec, params, mode = build_params(cfgfile, weightfile, quantized=quantized,
-                                      params_cache=params_cache)
+                                      params_cache=params_cache,
+                                      quant_banner=True)  # main.c:467
     nms = 0.2 if quantized else 0.4
     cd = compute_dtype if compute_dtype is not None else jnp.bfloat16
     pipe = DetectionPipeline(spec, params, mode, thresh=thresh, nms=nms,
