@@ -294,3 +294,25 @@ def test_cli_stderr_identical_to_oracle(oracle, cfgname, extra, tmp_path):
     # stdout too, modulo the wall-clock line
     strip = lambda t: [l for l in t.splitlines() if "Predicted in" not in l]
     assert strip(res_u.stdout) == strip(res_o.stdout)
+
+
+def test_shipped_cfg_layer_tables_identical_to_oracle(oracle, capfd):
+    """Every shipped cfg's parse-time stderr (layer table incl. the 107-row
+    yolov3 / 114-row spp tables, convX/convXB markers, Shortcut/route/
+    detection rows) is byte-identical to the oracle's. The oracle prints its
+    table before failing on the missing weights file, so no weights needed."""
+    import glob
+    import subprocess
+    for cfg in sorted(glob.glob(os.path.join(BIN, "*.cfg"))):
+        res = subprocess.run(
+            [oracle, "detector", "test", "/dev/null", cfg,
+             "nonexistent.weights", "x.png", "-dont_show"],
+            capture_output=True, text=True, timeout=120,
+            cwd=os.path.dirname(oracle))
+        ref = res.stderr.replace(
+            "Couldn't open file: nonexistent.weights\n", "").replace(
+            "Loading weights from nonexistent.weights...", "")
+        capfd.readouterr()
+        parse_network_cfg(cfg, batch=1, echo_table=True)
+        ours = capfd.readouterr().err
+        assert ours == ref, os.path.basename(cfg)
