@@ -173,6 +173,12 @@ def draw_detections_cv(im: np.ndarray, dets, names, thresh: float,
         right = min(int((x + bw / 2) * w), w - 1)
         top = max(int((y - bh / 2) * h), 0)
         bot = min(int((y + bh / 2) * h), h - 1)
+        if echo is not None:
+            # reference ext_output (always on): clamped-int corners, raw w/h
+            # (main.c:343-345)
+            print(f"\t(left_x: {float(left):4.0f}   top_y: {float(top):4.0f}"
+                  f"   width: {bw * w:4.0f}   height: {bh * h:4.0f})",
+                  file=echo)
         draw_box_width(im, left, top, right, bot, width, *rgb)
         bg_top = max(0, int(top - (10 + 25 * font_size)))
         im[bg_top:top + 1, left:right + 1] = rgb  # filled label background
