@@ -114,3 +114,39 @@ def test_calibrate_host_file_byte_parity(oracle, calib_dataset, tmp_path):
     validate_calibrate(calib_dataset, cfg, weights, input_calibration=2,
                        out_path=str(ours_path), method="host")
     assert ours_path.read_text() == calfile.read_text()
+
+
+def test_calibrate_host_streams_identical(oracle, calib_dataset, tmp_path):
+    """-calib_method host: the calibrate CLI's stdout AND stderr byte-match
+    the oracle — per-layer ' mult = ' lines from inside entropy_calibration
+    (quantized.c:1387), ' multiplier = '/' res_mult = ' accumulator lines
+    (yolov2_forward_network.c:788,797), the save banner and the final
+    'input_calibration = ... 16 \\n ---------------------------' tail
+    (:754-771), and the stderr loader progress numbers."""
+    import subprocess
+    import sys as _sys
+
+    cfg = os.path.join(DATA, "mini-calib.cfg")
+    spec = parse_network_cfg(cfg, batch=1)
+    weights = str(tmp_path / "w.weights")
+    save_weights(spec, random_params(spec, seed=21), weights)
+
+    args = ["detector", "calibrate", calib_dataset, cfg, weights,
+            "-input_calibration", "2"]
+    res_o = subprocess.run([oracle] + args, capture_output=True, text=True,
+                           timeout=600, cwd=str(tmp_path),
+                           stdin=subprocess.DEVNULL)
+    assert res_o.returncode == 0, res_o.stderr[-800:]
+    ours_dir = tmp_path / "ours"
+    ours_dir.mkdir()
+    env = dict(os.environ, YOLO2_TPU_PLATFORM="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    res_u = subprocess.run(
+        [_sys.executable, "-m", "yolo2_light_tpu"] + args
+        + ["-calib_method", "host"],
+        capture_output=True, text=True, timeout=600, cwd=str(ours_dir),
+        env=env, stdin=subprocess.DEVNULL)
+    assert res_u.returncode == 0, res_u.stderr[-800:]
+    assert res_u.stdout == res_o.stdout
+    assert res_u.stderr == res_o.stderr

@@ -78,17 +78,28 @@ def calibrate_multipliers(spec, params, image_arrays, max_num: int,
     for img in image_arrays:
         if counter >= max_num:
             break
+        if counter % 4 == 0:
+            # loader-batch progress (reference nthreads=4 pipeline prints the
+            # leading image index per batch, additionally.c:4955)
+            print(f"{counter + 4}", file=sys.stderr)
         counter += 1
         if method == "device":
             mults = np.asarray(jitted(dev_params, img[None]))
+            conv_inputs = None
         else:
             conv_inputs = jitted(dev_params, img[None])
-            mults = [entropy_calibration(np.asarray(x), 1.0 / 16, 4096)
-                     for x in conv_inputs]
-        for li, size, mult in zip(conv_indices, conv_sizes, mults):
-            mult = float(mult)
-            print(f" multiplier = {mult:f}, l.inputs = {size} \n",
-                  file=sys.stderr)
+            mults = None
+        for k, (li, size) in enumerate(zip(conv_indices, conv_sizes)):
+            if conv_inputs is not None:
+                # host sweep per layer, with its " mult = ..." line printing
+                # right before this layer's " multiplier = ..." line like the
+                # reference's in-place call (yolov2_forward_network.c:787-788)
+                mult = float(entropy_calibration(
+                    np.asarray(conv_inputs[k]), 1.0 / 16, 4096, echo=True))
+            else:
+                mult = float(mults[k])
+            # reference printf -> STDOUT (yolov2_forward_network.c:788)
+            print(f" multiplier = {mult:f}, l.inputs = {size} \n")
             # reference indexes by LAYER index i, not conv ordinal; stripes follow
             # layer indices (src/yolov2_forward_network.c:792)
             arr[counter + li * max_num] = mult
@@ -96,8 +107,7 @@ def calibrate_multipliers(spec, params, image_arrays, max_num: int,
                 stripe_vals = arr[li * max_num: li * max_num + max_num]
                 res = float(stripe_vals.mean())
                 arr[li * max_num] = res
-                print(f" res_mult = {res:f}, max_num = {max_num} ",
-                      file=sys.stderr)
+                print(f" res_mult = {res:f}, max_num = {max_num} ")
     return [float(arr[li * max_num]) for li in conv_indices]
 
 
@@ -107,10 +117,10 @@ def validate_calibrate(datacfg: str, cfgfile: str, weightfile, *,
                        method: str = "device") -> list:
     options = read_data_cfg(datacfg)
     valid_images = options.get("valid", "data/train.txt")
-    print(f"valid={valid_images} ", file=sys.stderr)
+    print(f"valid={valid_images} ")        # printf -> stdout (additionally.c:4907)
     if not input_calibration:
         print("\n -input_calibration <number> - isn't specified in command line, "
-              "will be used 1000 images \n", file=sys.stderr)
+              "will be used 1000 images \n")   # additionally.c:4912
         input_calibration = 1000
 
     spec, params, _ = build_params(cfgfile, weightfile, quantized=False)
@@ -124,8 +134,12 @@ def validate_calibrate(datacfg: str, cfgfile: str, weightfile, *,
             for p in paths[:max_num])
     mults = calibrate_multipliers(spec, params, imgs, max_num, method=method)
 
+    # reference: save banner, then prints each value as it writes the file,
+    # ending "16 \n ---------------------------" with no trailing newline
+    # (yolov2_forward_network.c:754-771)
+    print("\n\n Saving coefficients to the input_calibration.txt file... \n")
     line = "input_calibration = " + "".join(f"{m:g}, " for m in mults) + "16"
     with open(out_path, "w") as f:
         f.write(line)
-    print(line)
+    print(line + " \n ---------------------------", end="", flush=True)
     return mults

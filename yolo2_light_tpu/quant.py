@@ -123,7 +123,7 @@ def quantize_params(spec: ModelSpec, params: list,
 
 
 def entropy_calibration(arr: np.ndarray, bin_width: float = 1.0 / 16,
-                        max_bin: int = 4096) -> float:
+                        max_bin: int = 4096, echo: bool = False) -> float:
     """TensorRT-style KL-divergence saturation-threshold search
     (reference: entropy_calibration, src/yolov2_forward_network_quantized.c:1292-1398).
 
@@ -171,6 +171,17 @@ def entropy_calibration(arr: np.ndarray, bin_width: float = 1.0 / 16,
 
     m_index = int(np.argmin(kl[128:]) + 128)
     threshold = (m_index + 0.5) * bin_width
+    if echo:
+        # reference printf inside entropy_calibration
+        # (src/yolov2_forward_network_quantized.c:1387). min_m prints our f64
+        # KL at f32 width; C's float-accumulated value can differ in the 6th
+        # significant digit for nonzero minima (threshold choice unaffected).
+        t32 = np.float32((np.float32(m_index) + np.float32(0.5))
+                         * np.float32(bin_width))
+        m32 = np.float32(127.0) / t32
+        min_m = np.float32(np.min(kl[128:]))
+        print(f" mult = {float(m32):g}, threshold = {float(t32):g}, "
+              f"min_m = {float(min_m):g}, m_index = {float(m_index):g} ")
     return float(127.0 / threshold)
 
 
