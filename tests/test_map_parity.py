@@ -254,3 +254,37 @@ def test_map_report_text_parity(oracle, dataset, tmp_path):
     assert ours_block == oracle_block, "\n".join(
         f"oracle: {a!r}\nours:   {b!r}" for a, b in
         zip(oracle_block, ours_block) if a != b)[:2000]
+
+
+def test_map_cli_streams_identical(oracle, dataset, tmp_path):
+    """The map CLI's FULL stdout (everything incl. rank markers) and stderr
+    (table, loading line, nthreads=4-cadence progress numbers) byte-match the
+    oracle, modulo the wall-clock line and our candidate-buffer saturation
+    note (a framework extension message)."""
+    import sys as _sys
+
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec = parse_network_cfg(cfg, batch=1)
+    weights = str(tmp_path / "w.weights")
+    save_weights(spec, random_params(spec, seed=11), weights)
+    args = ["detector", "map", dataset["data"], cfg, weights,
+            "-thresh", "0.24"]
+    res_o = subprocess.run([oracle] + args, capture_output=True, text=True,
+                           timeout=600, cwd=str(tmp_path))
+    assert res_o.returncode == 0, res_o.stderr[-800:]
+    env = dict(os.environ, YOLO2_TPU_PLATFORM="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    res_u = subprocess.run(
+        [_sys.executable, "-m", "yolo2_light_tpu"] + args
+        + ["-batch", "3", "-k", "4096"],
+        capture_output=True, text=True, timeout=600, cwd=str(tmp_path),
+        env=env)
+    assert res_u.returncode == 0, res_u.stderr[-800:]
+    assert res_u.stdout == res_o.stdout
+
+    def strip(t):
+        return [l for l in t.splitlines()
+                if "Total Detection Time" not in l
+                and "candidate buffer" not in l]
+    assert strip(res_u.stderr) == strip(res_o.stderr)

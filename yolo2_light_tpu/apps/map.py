@@ -103,7 +103,10 @@ def validate_detector_map(datacfg: str, cfgfile: str, weightfile, *,
                     [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
             dets_list = pipe(imgs)[: j - i]
             for t, dets in zip(range(i, j), dets_list):
-                print(f"{t + 1}", file=sys.stderr)
+                if (t + 1) % 4 == 0 or t + 1 == len(paths):
+                    # stderr progress at the reference's nthreads=4 cadence
+                    # (fprintf(stderr, "%d\n", i), additionally.c:4612)
+                    print(f"{(t + 1 + 3) // 4 * 4}", file=sys.stderr)
                 truth = read_truth_boxes(label_path_for(paths[t]))
                 truth_dif = None
                 if dif_paths is not None and t < len(dif_paths):
