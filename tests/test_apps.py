@@ -257,3 +257,28 @@ def test_cli_k_flag_reaches_pipeline(tmp_path, monkeypatch):
                 "-k", "2048", "-batch", "4"])
     assert rc == 0
     assert seen["k"] == 2048 and seen["batch"] == 4
+
+
+def test_missing_image_matches_reference(oracle, tmp_path):
+    """A missing/undecodable image prints the reference's load_image_stb
+    failure ('Cannot load image "<path>"' + 'STB Reason: can't fopen') and
+    exits 0 (src/additionally.c:3084-3090) — not the file_error path."""
+    import subprocess
+    import sys as _sys
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    weights = _gen_weights(cfg, 3, str(tmp_path))
+    names = str(tmp_path / "n.names")
+    with open(names, "w") as f:
+        f.write("aaa\nbbb\nccc\n")
+    missing = str(tmp_path / "nope.png")
+    args = ["detector", "test", names, cfg, weights, missing, "-dont_show"]
+    res_o = subprocess.run([oracle] + args, capture_output=True, text=True,
+                           timeout=300, cwd=str(tmp_path))
+    env = dict(os.environ, YOLO2_TPU_PLATFORM="cpu", PYTHONPATH=REPO)
+    res_u = subprocess.run([_sys.executable, "-m", "yolo2_light_tpu"] + args,
+                           capture_output=True, text=True, timeout=300,
+                           cwd=str(tmp_path), env=env)
+    assert res_u.returncode == res_o.returncode == 0
+    tail = f'Cannot load image "{missing}"\nSTB Reason: can\'t fopen\n'
+    assert res_o.stderr.endswith(tail)
+    assert res_u.stderr.endswith(tail)

@@ -18,9 +18,24 @@ import numpy as np
 
 
 def load_image(path: str, channels: int = 3) -> np.ndarray:
-    """Load an image file -> float32 [H,W,C] in [0,1]."""
+    """Load an image file -> float32 [H,W,C] in [0,1].
+
+    Failure behavior matches the reference (load_image_stb,
+    src/additionally.c:3084-3090): print ``Cannot load image "<path>"`` and
+    the loader's reason to stderr, then exit(0) — a missing file reports
+    stb's literal "can't fopen"."""
+    import sys
     from PIL import Image
-    img = Image.open(path)
+    try:
+        img = Image.open(path)
+        img.load()
+    except FileNotFoundError:
+        print(f'Cannot load image "{path}"\nSTB Reason: can\'t fopen',
+              file=sys.stderr)
+        raise SystemExit(0)
+    except Exception as e:  # undecodable image: PIL's reason stands in for stb's
+        print(f'Cannot load image "{path}"\nSTB Reason: {e}', file=sys.stderr)
+        raise SystemExit(0)
     if channels == 3:
         img = img.convert("RGB")
     elif channels == 1:
