@@ -126,9 +126,10 @@ def main(argv=None) -> int:
     try:
         return _main(argv)
     except FileNotFoundError as e:
-        # reference: file_error() prints and exits (src/additionally.c:1601-1606)
+        # reference: file_error() prints and exit(0)s — yes, zero
+        # (src/additionally.c:1610-1614)
         print(f"Couldn't open file: {e.filename or e}", file=sys.stderr)
-        return 1
+        return 0
     except ValueError as e:
         # bad flag values (unknown -int8_impl/-xnor_kernel/-int8_policy, ...)
         print(f"Error: {e}", file=sys.stderr)
