@@ -169,5 +169,13 @@ def run(names, cfgfile: str, weightfile, filename, thresh: float = 0.24,
             print(text)
         im_io.draw_detections(im, dets, names, thresh, classes)
         im_io.save_image_png(im, save_path)
+        if not dont_show:
+            # headless analog of show_image's non-OpenCV branch: the PNG is
+            # already saved above, matching the reference's double save
+            # (main.c:232-235 + additionally.c:3236-3243)
+            import sys
+            print(f"Not compiled with OpenCV, saving to {save_path}.png "
+                  "instead", file=sys.stderr)
+            im_io.save_image_png(im, save_path)
         if filename is not None:
             return text
