@@ -283,3 +283,31 @@ def test_missing_image_matches_reference(oracle, tmp_path):
     tail = f'Cannot load image "{missing}"\nSTB Reason: can\'t fopen\n'
     assert res_o.stderr.endswith(tail)
     assert res_u.stderr.endswith(tail)
+
+
+def test_show_image_no_opencv_note(oracle, tmp_path):
+    """Without -dont_show the headless path prints the reference's
+    'Not compiled with OpenCV, saving to predictions.png instead' stderr note
+    (show_image, additionally.c:3236-3243); streams byte-match the oracle."""
+    import subprocess
+    import sys as _sys
+    from PIL import Image
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    weights = _gen_weights(cfg, 3, str(tmp_path))
+    names = str(tmp_path / "n.names")
+    with open(names, "w") as f:
+        f.write("aaa\nbbb\nccc\n")
+    img = str(tmp_path / "i.png")
+    rng = np.random.RandomState(1)
+    Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(img)
+    args = ["detector", "test", names, cfg, weights, img, "-thresh", "0.4"]
+    res_o = subprocess.run([oracle] + args, capture_output=True, text=True,
+                           timeout=300, cwd=str(tmp_path))
+    env = dict(os.environ, YOLO2_TPU_PLATFORM="cpu", PYTHONPATH=REPO)
+    res_u = subprocess.run([_sys.executable, "-m", "yolo2_light_tpu"] + args,
+                           capture_output=True, text=True, timeout=300,
+                           cwd=str(tmp_path), env=env)
+    assert res_u.stderr == res_o.stderr
+    strip = lambda t: [l for l in t.splitlines() if "Predicted in" not in l]
+    assert strip(res_u.stdout) == strip(res_o.stdout)
+    assert "Not compiled with OpenCV" in res_u.stderr
