@@ -14,6 +14,12 @@ accumulator indexing faithfully, including its quirks:
   mean over images 1..max_num-1 of this layer plus (for conv layers after the first)
   the final-image multiplier of the *previous* conv layer.
 
+Deviation (documented): the reference only WRITES input_calibration.txt when
+the valid list exceeds max_num images (the save triggers on image max_num+1
+and the app exits inside that forward, src/yolov2_forward_network.c:753-773);
+with a list of exactly max_num it silently produces nothing. We always save
+after max_num images — strictly more useful, same multipliers.
+
 Deviation (documented): the reference's calibration forward only executes
 conv/maxpool/route/reorg/region layers, silently leaving upsample/shortcut/yolo
 outputs as zeros (src/yolov2_forward_network.c:779-830 has no cases for them), which
@@ -108,6 +114,10 @@ def calibrate_multipliers(spec, params, image_arrays, max_num: int,
                 res = float(stripe_vals.mean())
                 arr[li * max_num] = res
                 print(f" res_mult = {res:f}, max_num = {max_num} ")
+    if counter == max_num and max_num % 4 == 0:
+        # the reference's save triggers on the (max_num+1)th image, whose
+        # loader batch prints its index before the exit (additionally.c:4955)
+        print(f"{max_num + 4}", file=sys.stderr)
     return [float(arr[li * max_num]) for li in conv_indices]
 
 

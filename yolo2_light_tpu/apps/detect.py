@@ -115,7 +115,7 @@ def detect_image(pred, spec, filename: str, thresh: float, nms: float,
             if isinstance(l, ConvSpec):
                 print(f"\n {l.index} - CONVOLUTIONAL \t\t l.size = {l.size}  ")
             elif isinstance(l, SoftmaxSpec):
-                print(f"\n layer: 4 ")
+                print("\n layer: 4 ")
     head_specs = pred.head_specs()
     dets = post.get_network_boxes(head_outputs, head_specs,
                                   im.shape[1], im.shape[0],
