@@ -181,12 +181,21 @@ def main():
     spec = parse_network_cfg(cfg, batch=1)
     params = sparse_head_biases(
         spec, fuse_conv_batchnorm(spec, random_params(spec, seed=0)))
-    # fail FAST if the relay is down: backend init can otherwise block
-    # indefinitely (observed: 28 min hang then UNAVAILABLE)
-    try:
-        dev = with_timeout(lambda: jax.devices()[0], 900, "backend init")
-    except Exception as e:
-        log(f"FATAL: TPU backend unavailable ({e}); no metric this run — "
+    # Relay wedges recover by themselves in ~5-30 min (CLAUDE.md), so give
+    # backend init three 15-min windows before giving up: a single wedge at
+    # capture time must not cost the round its metric. Each attempt's blocked
+    # jax.devices() call is abandoned in its daemon thread; a later attempt
+    # returns as soon as the relay recovers.
+    dev = None
+    for attempt in range(3):
+        try:
+            dev = with_timeout(lambda: jax.devices()[0], 900,
+                               f"backend init (attempt {attempt + 1}/3)")
+            break
+        except Exception as e:
+            log(f"backend init attempt {attempt + 1}/3 failed: {e}")
+    if dev is None:
+        log("FATAL: TPU backend unavailable for 45 min; no metric this run — "
             "the relay is down, not the framework. Re-run when it recovers.")
         sys.exit(2)
     log(f"device: {dev}")
