@@ -1,0 +1,117 @@
+"""Pipeline parallelism (parallel/pp.py): stage splitting, carried-tensor
+liveness, and bit-exactness vs the single-device program at equal microbatch
+size — on the 8-virtual-device CPU mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _setup(cfg, seed=3, quantized=False):
+    from yolo2_light_tpu.apps.detect import build_params
+    spec, params, mode = build_params(cfg, None, seed=seed, echo=False,
+                                      quantized=quantized)
+    return spec, params, mode
+
+
+def _need_devices(n):
+    import jax
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+
+
+def test_split_covers_all_layers_contiguously():
+    from yolo2_light_tpu.parallel.pp import split_stages
+    spec, _, _ = _setup(os.path.join(DATA, "mini-yolo3.cfg"))
+    for n in (2, 3, 4):
+        ranges = split_stages(spec, n)
+        assert ranges[0][0] == 0 and ranges[-1][1] == spec.n
+        for (a0, b0), (a1, _b1) in zip(ranges, ranges[1:]):
+            assert b0 == a1 and a0 < b0
+        assert len(ranges) == n
+
+
+def test_carried_set_is_exactly_cross_boundary_liveness():
+    """yolov3's long routes/shortcuts: the carried set at each boundary is
+    small (a handful of feature maps) and contains exactly the indices some
+    later route/shortcut/successor reads."""
+    import tempfile
+    from yolo2_light_tpu.parallel.pp import carried_for_boundary, split_stages
+    with open("/root/reference/bin/yolov3.cfg") as f:
+        text = f.read().replace("width=416", "width=128").replace(
+            "height=416", "height=128")
+    with tempfile.NamedTemporaryFile("w", suffix=".cfg", delete=False) as tf:
+        tf.write(text)
+    spec, _, _ = _setup(tf.name, seed=0)
+    for _a, stop in split_stages(spec, 4)[:-1]:
+        carried = carried_for_boundary(spec, stop)
+        assert 1 <= len(carried) <= 4     # darknet53's residual liveness is thin
+        # every carried index must really be read at/after the boundary
+        from yolo2_light_tpu.models.network import _consumers
+        cons = _consumers(spec)
+        for j in carried:
+            assert any(c >= stop for c in cons[j])
+
+
+@pytest.mark.parametrize("stages,mb", [(2, 2), (4, 1), (3, 2)])
+def test_pp_bit_exact_vs_single_device(stages, mb):
+    _need_devices(stages)
+    from yolo2_light_tpu.models.network import build_forward, params_to_device
+    from yolo2_light_tpu.parallel.pp import PipelinedPredictor
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec, params, _ = _setup(cfg)
+    rng = np.random.RandomState(0)
+    x = rng.rand(4, spec.net.h, spec.net.w, spec.net.c).astype(np.float32)
+    fwd = build_forward(spec, "fp32")
+    dev = params_to_device(params)
+    # reference = single device at the SAME microbatch size (XLA convs may
+    # reassociate across batch sizes; that noise is batching, not PP)
+    refs = [fwd(dev, x[m * mb:(m + 1) * mb])[0] for m in range(4 // mb)]
+    pp = PipelinedPredictor(spec, params, "fp32", n_stages=stages,
+                            microbatch=mb)
+    heads, _aux = pp(x)
+    for hi, h in enumerate(heads):
+        ref = np.concatenate([np.asarray(r[hi].data) for r in refs])
+        np.testing.assert_array_equal(ref, np.asarray(h.data))
+
+
+def test_pp_int8_bit_exact():
+    _need_devices(2)
+    from yolo2_light_tpu.models.network import build_forward, params_to_device
+    from yolo2_light_tpu.parallel.pp import PipelinedPredictor
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec, params, mode = _setup(cfg, quantized=True)
+    rng = np.random.RandomState(1)
+    x = rng.rand(2, spec.net.h, spec.net.w, spec.net.c).astype(np.float32)
+    fwd = build_forward(spec, "int8", int8_policy="cpu")
+    ref, _ = fwd(params_to_device(params), x)
+    pp = PipelinedPredictor(spec, params, "int8", n_stages=2, microbatch=2)
+    heads, _aux = pp(x)
+    for r, h in zip(ref, heads):
+        # int8's float requant epilogues may FMA-contract differently when
+        # the stage boundary changes XLA fusion clusters: <=1 ULP on <1% of
+        # entries (pp.py caveat b). Integer conv accumulation is exact.
+        np.testing.assert_allclose(np.asarray(h.data), np.asarray(r.data),
+                                   rtol=0, atol=1.3e-7)
+
+
+def test_pp_params_live_on_their_stage_device():
+    """Each stage's parameters are committed to that stage's device — the
+    memory-scaling property PP exists for."""
+    _need_devices(4)
+    import jax
+    from yolo2_light_tpu.parallel.pp import PipelinedPredictor
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec, params, _ = _setup(cfg)
+    pp = PipelinedPredictor(spec, params, "fp32", n_stages=4, microbatch=1)
+    for s, (a, b) in enumerate(pp.ranges):
+        for i in range(a, b):
+            entry = pp.stage_params[s][i]
+            if entry is None:
+                continue
+            for v in entry.values():
+                if isinstance(v, jax.Array):
+                    assert set(v.devices()) == {pp.devices[s]}, (s, i)

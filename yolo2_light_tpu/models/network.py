@@ -186,7 +186,8 @@ def _fused_stage_runs(spec: ModelSpec, int8_set: set) -> dict:
 def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cpu",
                   compute_dtype=jnp.float32, capture_conv_inputs: bool = False,
                   xnor_impl: str = "int8", int8_chain: bool = False,
-                  int8_impl: str = "xla", residual_dtype=None):
+                  int8_impl: str = "xla", residual_dtype=None,
+                  layer_range=None, carry_out=None):
     """Return ``forward(params, x)`` for the given spec.
 
     ``x``: [B, H, W, C] float32, NHWC, values in [0,1] (darknet image convention).
@@ -206,6 +207,16 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
     semantics requires; turbo halves that traffic for a bounded precision
     change (<= 1 bf16 ulp per materialized tensor, ~2-3 decimal digits kept).
     Head inputs are upcast back to f32 so decode math is unchanged.
+
+    ``layer_range=(start, stop)`` (pipeline parallelism, parallel/pp.py):
+    execute only ``spec.layers[start:stop]``. ``x`` is then the previous
+    stage's running activation and ``forward`` takes a third argument
+    ``carried`` — a dict {layer_index: output} of earlier-stage outputs that
+    routes/shortcuts in this range read. ``carry_out`` (set of indices) selects
+    which of this range's outputs to return in ``aux["outputs"]`` for
+    downstream stages. Cross-boundary int8 producer-chaining is dropped
+    (consumer-side quantization is bit-identical); fused residual runs that
+    straddle the boundary fall back to the XLA path.
     """
     if int8_impl not in ("xla", "pallas", "fused"):
         raise ValueError(f"unknown int8_impl {int8_impl!r} "
@@ -230,11 +241,16 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
             # DMA lane tiling requires the trunk channel count % 128
             fused_runs = {s: r for s, r in fused_runs.items()
                           if spec.layers[s].c % 128 == 0}
+    if layer_range is not None:
+        lo, hi = layer_range
+        fused_runs = {st: r for st, r in fused_runs.items()
+                      if st >= lo and r[-1][2] < hi}
     fused_skip = {idx for run in fused_runs.values()
                   for blk in run for idx in blk} - set(fused_runs)
 
-    def forward(params, x):
-        outputs: dict[int, jax.Array] = {}
+    def forward(params, x, carried=None):
+        outputs: dict[int, jax.Array] = ({} if carried is None
+                                         else dict(carried))
         i8_outputs: dict[int, tuple] = {}   # idx -> (int8 tensor, target conv idx)
         heads: list[HeadOutput] = []
         conv_inputs: list = []
@@ -251,7 +267,9 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
             i8_outputs[i] = pair
             return pair
 
-        for l in spec.layers:
+        body = (spec.layers if layer_range is None
+                else spec.layers[layer_range[0]: layer_range[1]])
+        for l in body:
             i = l.index
             if i in fused_runs:
                 from ..ops.pallas_fused import fused_res_stage
@@ -416,6 +434,8 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
         aux = {"final": cur}
         if capture_conv_inputs:
             aux["conv_inputs"] = conv_inputs
+        if carry_out is not None:
+            aux["outputs"] = {j: outputs[j] for j in carry_out}
         return tuple(heads), aux
 
     return forward

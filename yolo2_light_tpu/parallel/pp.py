@@ -1,0 +1,188 @@
+"""Pipeline parallelism: stage-split inference across devices with
+microbatch overlap.
+
+The reference is single-device (SURVEY §2.8). The mesh axes in
+parallel/mesh.py scale out WITHIN every layer (dp batches / sp rows / tp
+channels); this module adds the remaining classic axis: the LAYER dimension.
+The network splits into ``n_stages`` contiguous, BFLOPs-balanced layer
+ranges, each stage's parameters live on their own device, and microbatches
+flow through the stages in a GPipe-style wavefront — while device s computes
+microbatch m, device s-1 computes m+1. JAX's async dispatch does the
+overlap: every stage step and inter-device activation transfer is enqueued
+without blocking, so the Python scheduler only defines the dependency order.
+
+When pipeline parallelism is the right tool (vs dp/tp/sp): the model's
+weights don't fit one device, or a serving deployment wants >1 chip at
+LOW batch without paying tp's per-layer collectives — PP's only
+communication is one activation tensor per stage boundary per microbatch,
+riding ICI point-to-point. For yolov3-sized nets dp is usually better; this
+exists so the parallelism inventory is complete and correct (tested
+bit-exact vs the single-device program), and it composes with the darknet
+graph's long-range routes/shortcuts via carried-tensor liveness analysis.
+
+Stage boundaries never need halo or replication logic: build_forward's
+``layer_range``/``carried`` support executes an arbitrary contiguous range
+given the live set of earlier outputs (models/network.py), and the split
+only carries tensors a later route/shortcut actually reads
+(:func:`carried_for_boundary` — on yolov3 a 2-stage split carries 2-3
+feature maps).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..cfg import ConvSpec, ModelSpec
+from ..models.network import _consumers, build_forward
+
+
+def _bflops(l) -> float:
+    if isinstance(l, ConvSpec):
+        return l.bflops
+    return 0.0
+
+
+def split_stages(spec: ModelSpec, n_stages: int) -> list:
+    """Contiguous layer ranges [(start, stop), ...], BFLOPs-balanced: stage s
+    ends at the first layer where cumulative cost reaches (s+1)/n of total."""
+    total = sum(_bflops(l) for l in spec.layers) or float(spec.n)
+    bounds = []
+    acc = 0.0
+    start = 0
+    for l in spec.layers:
+        acc += _bflops(l) if total != float(spec.n) else 1.0
+        if (len(bounds) < n_stages - 1
+                and acc >= total * (len(bounds) + 1) / n_stages
+                and l.index + 1 < spec.n):
+            bounds.append((start, l.index + 1))
+            start = l.index + 1
+    bounds.append((start, spec.n))
+    return bounds
+
+
+def carried_for_boundary(spec: ModelSpec, stop: int) -> set:
+    """Layer indices < stop whose outputs some layer >= stop still reads
+    (routes/shortcuts/sequential-successor)."""
+    consumers = _consumers(spec)
+    return {j for j in range(stop) if any(c >= stop for c in consumers[j])}
+
+
+class PipelinedPredictor:
+    """Stage-split predictor: ``__call__(x[B]) -> (heads, aux)`` with outputs
+    BIT-IDENTICAL (fp32 mode, measured on mini + full yolov3) to the
+    single-device ``build_forward`` program run at the same microbatch size
+    — the stage split itself adds no numerics; the only cross-stage
+    semantic effect is dropped int8 producer-chaining, bit-identical to
+    consumer-side quantization by construction. Two float-noise caveats,
+    both properties of XLA program shape rather than of the pipeline:
+    (a) XLA's convs may reassociate differently at different BATCH sizes,
+    so microbatched results can differ from a full-batch single program
+    (measured 2.6e-5 over 107 layers on CPU — the reference always runs
+    b=1, where this is moot); (b) int8 mode's float requant epilogues can
+    FMA-contract differently when a stage boundary changes fusion clusters
+    (<=1 ULP on <1% of entries — the same cross-program class as the XNOR
+    caveat in ops/pallas_xnor.py).
+
+    ``devices``: one per stage (defaults to ``jax.devices()[:n_stages]``).
+    ``microbatch``: rows per pipeline step (B must divide evenly).
+    """
+
+    def __init__(self, spec: ModelSpec, params: list, mode: str = "fp32", *,
+                 n_stages: int = 2, microbatch: int = 1, devices=None,
+                 int8_policy: str = "cpu", compute_dtype=jnp.float32,
+                 xnor_impl: str = "int8"):
+        self.spec = spec
+        self.n_stages = n_stages
+        self.microbatch = microbatch
+        devs = devices if devices is not None else jax.devices()[:n_stages]
+        if len(devs) < n_stages:
+            raise ValueError(f"need {n_stages} devices, have {len(devs)}")
+        self.devices = devs[:n_stages]
+        self.ranges = split_stages(spec, n_stages)
+        self.carried_sets = [carried_for_boundary(spec, stop)
+                             for (_s, stop) in self.ranges[:-1]] + [set()]
+
+        # per-stage params: only that stage's layer entries, committed to the
+        # stage's device (cross-stage int8 chain targets may read a later
+        # stage's multiplier — chain is disabled per-stage via layer_range
+        # carrying no i8 state, so per-stage params are self-contained)
+        self.stage_params = []
+        for s, (a, b) in enumerate(self.ranges):
+            p = [None] * spec.n
+            for i in range(a, b):
+                if params[i] is not None:
+                    p[i] = jax.device_put(params[i], self.devices[s])
+            self.stage_params.append(p)
+
+        from ..cfg import RegionSpec, YoloSpec
+        self.stage_fns = []
+        self.stage_head_meta = []
+        consumers = _consumers(spec)
+        self._needed = [
+            {j for j in range(a) if any(c >= a for c in consumers[j])}
+            for (a, _b) in self.ranges]
+        for s, (a, b) in enumerate(self.ranges):
+            fwd = build_forward(spec, mode, int8_policy=int8_policy,
+                                compute_dtype=compute_dtype,
+                                xnor_impl=xnor_impl,
+                                layer_range=(a, b),
+                                carry_out=self.carried_sets[s])
+
+            def stage(p, x, carried, _fwd=fwd):
+                heads, aux = _fwd(p, x, carried)
+                # jit carries arrays only; head metadata reattached below
+                return (tuple(h.data for h in heads), aux["final"],
+                        aux.get("outputs", {}))
+
+            self.stage_fns.append(jax.jit(stage))
+            self.stage_head_meta.append(
+                [(l.index, "yolo" if isinstance(l, YoloSpec) else "region")
+                 for l in spec.layers[a:b]
+                 if isinstance(l, (YoloSpec, RegionSpec))])
+
+    def __call__(self, x):
+        from ..models.network import HeadOutput
+        x = jnp.asarray(x)
+        B = x.shape[0]
+        mb = self.microbatch
+        if B % mb:
+            raise ValueError(f"batch {B} not divisible by microbatch {mb}")
+        M = B // mb
+        n = self.n_stages
+
+        # wavefront schedule: at step k, stage s works on microbatch k-s.
+        # All calls are async — JAX queues each stage's step on its device as
+        # soon as its (transferred) inputs exist, so stages overlap in time.
+        cur = [None] * M               # running activation per microbatch
+        carried = [dict() for _ in range(M)]
+        head_datas = [[] for _ in range(M)]
+        for k in range(M + n - 1):
+            for s in range(min(k, n - 1), -1, -1):
+                m = k - s
+                if m < 0 or m >= M:
+                    continue
+                dev = self.devices[s]
+                if s == 0:
+                    xin = jax.device_put(x[m * mb:(m + 1) * mb], dev)
+                else:
+                    xin = jax.device_put(cur[m], dev)
+                car = {j: jax.device_put(v, dev)
+                       for j, v in carried[m].items()
+                       if j in self._needed[s]}
+                datas, final, outs = self.stage_fns[s](
+                    self.stage_params[s], xin, car)
+                cur[m] = final
+                carried[m].update(outs)
+                head_datas[m].extend(datas)
+
+        # reassemble full-batch heads in head order (concat microbatches)
+        meta = [hm for metas in self.stage_head_meta for hm in metas]
+        dev_last = self.devices[-1]
+        out = []
+        for hi, (idx, kind) in enumerate(meta):
+            data = jnp.concatenate(
+                [jax.device_put(head_datas[m][hi], dev_last)
+                 for m in range(M)], axis=0)
+            out.append(HeadOutput(idx, kind, data))
+        return tuple(out), {"final": cur}
