@@ -115,3 +115,85 @@ def test_pp_params_live_on_their_stage_device():
             for v in entry.values():
                 if isinstance(v, jax.Array):
                     assert set(v.devices()) == {pp.devices[s]}, (s, i)
+
+
+def test_pp_detection_pipeline_matches():
+    """DetectionPipeline(pp_stages=N) produces the same detections as the
+    single-device pipeline run at the same microbatch size."""
+    _need_devices(4)
+    from yolo2_light_tpu.pipeline import DetectionPipeline
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec, params, mode = _setup(cfg)
+    rng = np.random.RandomState(1)
+    x = (rng.rand(4, spec.net.h, spec.net.w, spec.net.c) * 255).astype(
+        np.uint8)
+    base = DetectionPipeline(spec, params, mode, thresh=0.4, nms=0.4, k=256)
+    pp = DetectionPipeline(spec, params, mode, thresh=0.4, nms=0.4, k=256,
+                           pp_stages=4, pp_microbatch=2)
+    # single-device reference at the SAME microbatch size (batch-size conv
+    # reassociation is float noise unrelated to PP)
+    d0 = base(x[:2]) + base(x[2:])
+    d1 = pp(x)
+    for a, b in zip(d0, d1):
+        assert a.n == b.n
+        np.testing.assert_allclose(b.bbox, a.bbox, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(b.prob, a.prob, rtol=0, atol=1e-6)
+
+
+def test_pp_device_nms_same_survivors():
+    """pp + -device_nms: identical SURVIVING detections to pp + host NMS
+    (device NMS drops suppressed rows; host NMS keeps them with zeroed
+    probs, so row counts differ by construction, like the non-PP paths)."""
+    _need_devices(2)
+    from yolo2_light_tpu.pipeline import DetectionPipeline
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec, params, mode = _setup(cfg)
+    rng = np.random.RandomState(1)
+    x = (rng.rand(2, spec.net.h, spec.net.w, spec.net.c) * 255).astype(
+        np.uint8)
+    kw = dict(thresh=0.4, nms=0.4, k=256, pp_stages=2, pp_microbatch=2)
+    host = DetectionPipeline(spec, params, mode, **kw)
+    dev = DetectionPipeline(spec, params, mode, device_nms=True, **kw)
+    for a, b in zip(host(x), dev(x)):
+        pa = np.sort(a.prob[a.prob > 0].reshape(-1))
+        pb = np.sort(b.prob[b.prob > 0].reshape(-1))
+        np.testing.assert_allclose(pb, pa, rtol=0, atol=1e-6)
+
+
+def test_map_pipeline_parallel_matches_single(tmp_path):
+    """detector map -pp S: same metrics as the single-device eval (the
+    accounting consumes per-image detections; microbatch conv reassociation
+    can move sub-print-precision float noise only)."""
+    _need_devices(2)
+    from PIL import Image
+    from yolo2_light_tpu.cfg import parse_network_cfg
+    from yolo2_light_tpu.weights import random_params, save_weights
+    from yolo2_light_tpu.apps.map import validate_detector_map
+
+    rng = np.random.RandomState(0)
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    paths = []
+    for i in range(4):
+        p = tmp_path / "images" / f"im{i}.png"
+        Image.fromarray((rng.rand(96, 128, 3) * 255).astype(np.uint8)).save(p)
+        paths.append(str(p))
+        with open(tmp_path / "labels" / f"im{i}.txt", "w") as f:
+            f.write("0 0.5 0.5 0.3 0.3\n")
+    (tmp_path / "valid.txt").write_text("\n".join(paths) + "\n")
+    (tmp_path / "n.names").write_text("aaa\nbbb\nccc\n")
+    data = tmp_path / "d.data"
+    data.write_text(f"classes=3\nvalid={tmp_path}/valid.txt\n"
+                    f"names={tmp_path}/n.names\n")
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec = parse_network_cfg(cfg, batch=1)
+    weights = str(tmp_path / "w.weights")
+    save_weights(spec, random_params(spec, seed=11), weights)
+
+    single = validate_detector_map(str(data), cfg, weights, thresh=0.24,
+                                   batch=2, k=4096)
+    pp = validate_detector_map(str(data), cfg, weights, thresh=0.24,
+                               batch=4, k=4096, pipeline_parallel=2)
+    assert single["unique_truth_count"] == pp["unique_truth_count"]
+    assert abs(single["detections_count"] - pp["detections_count"]) <= 3
+    assert abs(single["mAP"] - pp["mAP"]) < 0.02

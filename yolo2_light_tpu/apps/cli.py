@@ -25,6 +25,8 @@ bilinear resize runs on device — frees the serving host, and uint8 ingest
 then carries raw camera bytes with no re-quantization),
 -parallel N -tp M -sp K
 (map sharding: data x tensor x spatial mesh axes),
+-pp S (map: pipeline parallelism — BFLOPs-balanced layer stages on S
+devices, GPipe wavefront microbatching; parallel/pp.py),
 -params_cache DIR (converted-weights cache),
 -input_calibration N / -calib_method device|host (calibrate), -profile DIR, -i N,
 -turbo (TPU-native extension: materialize inter-layer activations as bf16 —
@@ -193,6 +195,7 @@ def _main(argv=None) -> int:
     data_parallel = _find_value(args, "-parallel", 0, int)
     tensor_parallel = _find_value(args, "-tp", 0, int)
     spatial_parallel = _find_value(args, "-sp", 0, int)
+    pipeline_parallel = _find_value(args, "-pp", 0, int)
     profile_dir = _find_value(args, "-profile", None)
 
     if len(args) < 2:
@@ -246,6 +249,7 @@ def _main(argv=None) -> int:
                               data_parallel=data_parallel,
                               tensor_parallel=tensor_parallel,
                               spatial_parallel=spatial_parallel,
+                              pipeline_parallel=pipeline_parallel,
                               compute_dtype=compute_dtype,
                               params_cache=params_cache,
                               device_nms=device_nms, turbo=turbo,

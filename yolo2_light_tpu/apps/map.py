@@ -39,7 +39,8 @@ def validate_detector_map(datacfg: str, cfgfile: str, weightfile, *,
                           params_cache=None,
                           device_nms: bool = False,
                           turbo: bool = False,
-                          int8_impl: str = "xla") -> dict:
+                          int8_impl: str = "xla",
+                          pipeline_parallel: int = 0) -> dict:
     import jax.numpy as jnp
 
     options = read_data_cfg(datacfg)
@@ -62,11 +63,14 @@ def validate_detector_map(datacfg: str, cfgfile: str, weightfile, *,
         mesh = make_mesh(dp * sp * tp, data=dp, model=tp, space=sp)
         batch = max(batch, dp)
         batch -= batch % dp  # keep shards even
+    pp = max(0, pipeline_parallel)
     pipe = DetectionPipeline(spec, params, mode,
                              thresh=0.005, nms=0.45, k=k,
                              int8_policy=int8_policy, compute_dtype=cd,
                              mesh=mesh, device_nms=device_nms, turbo=turbo,
-                             int8_impl=int8_impl)
+                             int8_impl=int8_impl,
+                             pp_stages=pp,
+                             pp_microbatch=max(1, batch // max(1, pp)))
     classes = pipe.classes
 
     with open(valid_images) as f:

@@ -91,7 +91,8 @@ class PipelinedPredictor:
     def __init__(self, spec: ModelSpec, params: list, mode: str = "fp32", *,
                  n_stages: int = 2, microbatch: int = 1, devices=None,
                  int8_policy: str = "cpu", compute_dtype=jnp.float32,
-                 xnor_impl: str = "int8"):
+                 xnor_impl: str = "int8", int8_impl: str = "xla",
+                 turbo: bool = False):
         self.spec = spec
         self.n_stages = n_stages
         self.microbatch = microbatch
@@ -125,7 +126,9 @@ class PipelinedPredictor:
         for s, (a, b) in enumerate(self.ranges):
             fwd = build_forward(spec, mode, int8_policy=int8_policy,
                                 compute_dtype=compute_dtype,
-                                xnor_impl=xnor_impl,
+                                xnor_impl=xnor_impl, int8_impl=int8_impl,
+                                residual_dtype=(jnp.bfloat16 if turbo
+                                                else None),
                                 layer_range=(a, b),
                                 carry_out=self.carried_sets[s])
 

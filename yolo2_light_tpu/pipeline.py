@@ -64,7 +64,8 @@ class DetectionPipeline:
                  int8_policy: str = "cpu", compute_dtype=jnp.float32,
                  letter: bool = False, packed_dtype=jnp.float32,
                  xnor_impl: str = "int8", mesh=None, device_nms: bool = False,
-                 turbo: bool = False, int8_impl: str = "xla"):
+                 turbo: bool = False, int8_impl: str = "xla",
+                 pp_stages: int = 0, pp_microbatch: int = 1):
         self.spec = spec
         self.thresh = thresh
         self.nms = nms
@@ -79,6 +80,23 @@ class DetectionPipeline:
         self._turbo = bool(turbo)
         self._mesh = mesh
         self._packed_dtype = packed_dtype
+        self._pp_stages = int(pp_stages)
+        self._pp_microbatch = int(pp_microbatch)
+        if pp_stages > 1 and mesh is not None:
+            raise ValueError("pp_stages and mesh are mutually exclusive "
+                             "(pipeline stages own whole devices)")
+        self._pp = None
+        if pp_stages > 1:
+            # pipeline parallelism (parallel/pp.py): the forward runs stage-
+            # split across devices; ingest jits on the first stage's device
+            # and decode/NMS on the last — so the packed buffer still leaves
+            # from ONE device
+            from .parallel.pp import PipelinedPredictor
+            self._pp = PipelinedPredictor(
+                spec, params, mode, n_stages=pp_stages,
+                microbatch=max(1, pp_microbatch), int8_policy=int8_policy,
+                compute_dtype=compute_dtype, xnor_impl=xnor_impl,
+                int8_impl=int8_impl, turbo=turbo)
         if mesh is not None and (mesh.shape.get("model", 1) > 1
                                  or mesh.shape.get("space", 1) > 1):
             # tensor-parallel: shard straight from the host params —
@@ -87,6 +105,10 @@ class DetectionPipeline:
             # full-weights round trip through the ~60MB/s relay)
             from .parallel.mesh import shard_params
             self.params = shard_params(spec, params, mesh)
+        elif self._pp is not None:
+            # stage params already committed per device by PipelinedPredictor;
+            # keep the host copy (used only by _grown re-construction)
+            self.params = params
         else:
             self.params = params_to_device(params)
         self.head_specs = [l for l in spec.layers
@@ -102,7 +124,7 @@ class DetectionPipeline:
         use_device_nms = self.device_nms
         nms_thresh = nms
 
-        def run(p, x):
+        def ingest(x):
             if x.ndim == 3:
                 # planar YUV420 ingest [B, H*3/2, W] uint8 — camera/codec-native,
                 # half the H2D bytes of RGB; BT.601 conversion on device
@@ -117,8 +139,10 @@ class DetectionPipeline:
                 # with uint8 ingest, removes the resize-then-requantize error
                 from .ops.resize import device_resize_image
                 x = device_resize_image(x, netw, neth)
-            heads, _ = fwd(p, x)
-            packed = decode_and_compact_packed([h.data for h in heads],
+            return x
+
+        def post(head_datas):
+            packed = decode_and_compact_packed(list(head_datas),
                                                head_specs, netw, neth, thresh, k)
             if use_device_nms:
                 # NMS on chip (post/device_nms.py): the buffer leaves the device
@@ -148,6 +172,13 @@ class DetectionPipeline:
                 packed = jnp.concatenate([packed, extra], axis=1)
             return packed.astype(packed_dtype)
 
+        def run(p, x):
+            heads, _ = fwd(p, ingest(x))
+            return post([h.data for h in heads])
+
+        self._pp_ingest = jax.jit(ingest)
+        self._pp_post = jax.jit(post)
+
         if mesh is not None:
             # data-parallel sharding over the batch axis: each chip runs the net
             # on its shard of images (no collectives; SURVEY §2.8 — the idiomatic
@@ -171,6 +202,12 @@ class DetectionPipeline:
 
     def raw(self, images):
         """Packed device output [B,K,4+1+classes] — still on device."""
+        if self._pp is not None:
+            dev0, devN = self._pp.devices[0], self._pp.devices[-1]
+            x = self._pp_ingest(jax.device_put(jnp.asarray(images), dev0))
+            heads, _ = self._pp(x)
+            datas = [jax.device_put(h.data, devN) for h in heads]
+            return self._pp_post(datas)
         return self._jitted(self.params, jnp.asarray(images))
 
     def dispatch(self, images):
@@ -249,7 +286,8 @@ class DetectionPipeline:
                 compute_dtype=self._compute_dtype, letter=self.letter,
                 xnor_impl=self._xnor_impl, mesh=self._mesh,
                 packed_dtype=self._packed_dtype, device_nms=self.device_nms,
-                turbo=self._turbo, int8_impl=self._int8_impl)
+                turbo=self._turbo, int8_impl=self._int8_impl,
+                pp_stages=self._pp_stages, pp_microbatch=self._pp_microbatch)
             self._grown_cache = cached
         return cached
 
