@@ -112,7 +112,14 @@ class MapAccumulator:
         fp_rec = over & ~tp_rec          # dropped, unmatched, or duplicate match
         self.tp_for_thresh += int(tp_rec.sum())
         self.fp_for_thresh += int(fp_rec.sum())
-        self.avg_iou_sum += float(max_iou[tp_rec].sum())
+        # sequential float32 adds in detection order, like the reference's
+        # `avg_iou += max_iou` (additionally.c:4759) — numpy's pairwise f32
+        # .sum() can land one %2.2f digit off at a rounding boundary (caught
+        # by the generative map fuzz: 0.06 vs 0.05)
+        acc = np.float32(self.avg_iou_sum)
+        for v in max_iou[tp_rec]:
+            acc = np.float32(acc + np.float32(v))
+        self.avg_iou_sum = float(acc)
 
         self.det_p.append(pp[kept])
         self.det_class.append(cc[kept].astype(np.int64))
@@ -178,7 +185,12 @@ class MapAccumulator:
         # F1 with tp==0 is 0/0. Reproduce the NaNs; _c_float_fmt prints them.
         with np.errstate(divide="ignore", invalid="ignore"):
             tpf, fpf = np.float32(tp), np.float32(fp)
-            avg_iou = float(np.float32(self.avg_iou_sum) / (tpf + fpf))
+            # avg_iou's division alone is GUARDED in the reference
+            # (additionally.c:4778-4780): 0.00 when tp+fp==0, while
+            # precision/recall/F1 are unguarded f32 (-nan) — oracle-verified
+            # by the generative map fuzz
+            avg_iou = (float(np.float32(self.avg_iou_sum) / (tpf + fpf))
+                       if tp + fp > 0 else 0.0)
             precision = float(tpf / (tpf + fpf))
             recall = float(tpf / (tpf + np.float32(fn)))
             f1 = float(np.float32(2.0) * np.float32(precision)
