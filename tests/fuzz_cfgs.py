@@ -43,7 +43,10 @@ def gen_cfg(rng, classes=3):
 
     def conv(filters, size, stride, act="leaky", extra=""):
         nonlocal cur
-        pad = size // 2
+        # random XNOR convs (never the first layer or a head-feeding linear
+        # conv): exercises the bit path's -1 border rule and c%32 packing
+        if act == "leaky" and dims and rng.rand() < 0.25:
+            extra += "xnor=1\n"
         lines.append(f"[convolutional]\nbatch_normalize=1\nfilters={filters}\n"
                      f"size={size}\nstride={stride}\npad=1\nactivation={act}\n"
                      + extra)

@@ -138,3 +138,39 @@ def test_predictions_png_pixel_parity(oracle, names_file, tmp_path):
 
     assert oracle_px.shape == ours_px.shape
     np.testing.assert_array_equal(ours_px, oracle_px)
+
+
+def test_quantized_ignores_xnor_on_int8_dispatched_convs(oracle, names_file,
+                                                         tmp_path):
+    """-quantized dispatch precedence: an int8-eligible conv runs the INT8
+    path even with xnor=1 (neither reference quantized forward has an xnor
+    branch); xnor is honored only on float-dispatched convs. Streams must
+    byte-match the oracle on an xnor cfg run with -quantized."""
+    import subprocess
+    import sys as _sys
+    from PIL import Image
+    from yolo2_light_tpu.cfg import parse_network_cfg
+    from yolo2_light_tpu.weights import random_params, save_weights
+
+    cfg = os.path.join(DATA, "mini-xnor.cfg")
+    spec = parse_network_cfg(cfg, batch=1)
+    weights = str(tmp_path / "w.weights")
+    save_weights(spec, random_params(spec, seed=9), weights)
+    img = str(tmp_path / "i.png")
+    rng = np.random.RandomState(2)
+    Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(img)
+
+    args = ["detector", "test", names_file, cfg, weights, img,
+            "-thresh", "0.3", "-dont_show", "-quantized"]
+    res_o = subprocess.run([oracle] + args, capture_output=True, text=True,
+                           timeout=300, cwd=os.path.dirname(oracle))
+    assert res_o.returncode == 0, res_o.stderr[-800:]
+    env = dict(os.environ, YOLO2_TPU_PLATFORM="cpu")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res_u = subprocess.run([_sys.executable, "-m", "yolo2_light_tpu"] + args,
+                           capture_output=True, text=True, timeout=300,
+                           cwd=repo, env=env)
+    assert res_u.returncode == 0, res_u.stderr[-800:]
+    strip = lambda t: [l for l in t.splitlines() if "Predicted in" not in l]
+    assert strip(res_u.stdout) == strip(res_o.stdout)
+    assert res_u.stderr == res_o.stderr

@@ -298,7 +298,13 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
                 p = params[i]
                 if capture_conv_inputs:
                     conv_inputs.append(cur)
-                if l.xnor:
+                # dispatch precedence matches the reference: an int8-eligible
+                # conv runs the INT8 path even with xnor=1 (neither quantized
+                # forward has an xnor branch — yolov2_forward_network_
+                # quantized.c:527-631, yolov2_forward_network_gpu.cu:143-315);
+                # xnor is honored only on float-dispatched convs (layer 0 /
+                # LINEAR / gpu-ineligible), caught by the generative fuzzer
+                if l.xnor and i not in int8_set:
                     if (xnor_impl in ("pallas", "pallas_mxu")
                             and l.stride == 1 and l.pad == 1
                             and "packed_weights" in p):
