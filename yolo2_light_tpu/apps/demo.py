@@ -235,8 +235,10 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
                     # (main.c:563-570)
                     fps = 1.0 / max(after - before, 1e-6)
                     before = after
+                    # reference printf -> STDOUT (main.c:563-570; object
+                    # lines main.c:294)
                     print(f"\033[2J\033[1;1H\nFPS:{fps:.1f}\nObjects:\n\n"
-                          f"{last_objects}", file=sys.stderr)
+                          f"{last_objects}", flush=True)
                 if max_frames is not None and count >= max_frames:
                     stop_all = True
                 if stop_all:
