@@ -3,7 +3,9 @@ Strict separate-stream diffs (stdout mod timing; stderr exact).
 
 Tool usage:  python tests/fuzz_cfgs.py [n_nets] [seed0]
 A small campaign runs in the suite via test_fuzz_parity.py (slow mark);
-60 nets x {fp32, quantized} passed with zero diffs when added (2026-08-18).
+~170 random nets x {fp32, quantized} passed when added (2026-08-18); it
+caught the xnor+quantized dispatch-precedence bug and two mAP accounting
+parity bugs the fixed-fixture tests never hit.
 Needs the compiled oracle at .oracle/darknet (built by tests/conftest.py).
 
 Known irreducible class (map aggregates): per-detection boxes can differ from
