@@ -197,3 +197,25 @@ def test_map_pipeline_parallel_matches_single(tmp_path):
     assert single["unique_truth_count"] == pp["unique_truth_count"]
     assert abs(single["detections_count"] - pp["detections_count"]) <= 3
     assert abs(single["mAP"] - pp["mAP"]) < 0.02
+
+
+def test_pp_composes_with_fused_engine():
+    """int8_impl='fused' under pipeline stages: residual-stage runs that
+    straddle a stage boundary fall back to the XLA path (build_forward
+    filters them by layer_range); within-stage runs still fuse. Output
+    matches the single-device fused program."""
+    _need_devices(2)
+    from yolo2_light_tpu.models.network import build_forward, params_to_device
+    from yolo2_light_tpu.parallel.pp import PipelinedPredictor
+    cfg = os.path.join(DATA, "mini-res.cfg")
+    spec, params, _ = _setup(cfg, seed=5, quantized=True)
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, spec.net.h, spec.net.w, spec.net.c).astype(np.float32)
+    ref, _ = build_forward(spec, "int8", int8_policy="cpu",
+                           int8_impl="fused")(params_to_device(params), x)
+    pp = PipelinedPredictor(spec, params, "int8", n_stages=2, microbatch=2,
+                            int8_impl="fused")
+    heads, _aux = pp(x)
+    for r, h in zip(ref, heads):
+        np.testing.assert_allclose(np.asarray(h.data), np.asarray(r.data),
+                                   rtol=0, atol=1.3e-7)
