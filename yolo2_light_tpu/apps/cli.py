@@ -25,7 +25,7 @@ bilinear resize runs on device — frees the serving host, and uint8 ingest
 then carries raw camera bytes with no re-quantization),
 -parallel N -tp M -sp K
 (map sharding: data x tensor x spatial mesh axes),
--pp S (map: pipeline parallelism — BFLOPs-balanced layer stages on S
+-pp S (map/demo: pipeline parallelism — BFLOPs-balanced layer stages on S
 devices, GPipe wavefront microbatching; parallel/pp.py),
 -params_cache DIR (converted-weights cache),
 -input_calibration N / -calib_method device|host (calibrate), -profile DIR, -i N,
@@ -282,6 +282,7 @@ def _main(argv=None) -> int:
              batch=batch, params_cache=params_cache, device_nms=device_nms,
              uint8_ingest=uint8_ingest, turbo=turbo, int8_impl=int8_impl,
              device_resize=device_resize,
+             pipeline_parallel=pipeline_parallel,
              **({"k": topk} if topk > 0 else {}))
         return 0
     print(f"Not an option: {sub}", file=sys.stderr)
