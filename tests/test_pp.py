@@ -219,3 +219,25 @@ def test_pp_composes_with_fused_engine():
     for r, h in zip(ref, heads):
         np.testing.assert_allclose(np.asarray(h.data), np.asarray(r.data),
                                    rtol=0, atol=1.3e-7)
+
+
+def test_pp_composes_with_turbo_device_nms_device_resize():
+    """Kitchen-sink composition: source-resolution uint8 frames + int8 turbo
+    + on-device NMS + pipeline stages produce the same surviving detections
+    as the plain turbo pipeline (auto-grow under pp also verified: a
+    saturated candidate buffer re-runs through _grown with pp args)."""
+    _need_devices(2)
+    from yolo2_light_tpu.pipeline import DetectionPipeline
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec, params, mode = _setup(cfg, quantized=True)
+    rng = np.random.RandomState(1)
+    src = (rng.rand(2, 96, 128, 3) * 255).astype(np.uint8)
+    kw = dict(thresh=0.25, nms=0.4, k=4096, int8_policy="cpu", turbo=True)
+    kit = DetectionPipeline(spec, params, mode, device_nms=True, pp_stages=2,
+                            pp_microbatch=2, **kw)
+    plain = DetectionPipeline(spec, params, mode, **kw)
+    for a, b in zip(plain(src), kit(src)):
+        pa = np.sort(a.prob[a.prob > 0].reshape(-1))
+        pb = np.sort(b.prob[b.prob > 0].reshape(-1))
+        assert pa.size > 100    # dense random net: a real comparison
+        np.testing.assert_allclose(pb, pa, rtol=0, atol=2e-6)
