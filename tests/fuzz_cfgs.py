@@ -214,7 +214,8 @@ def main(n_nets=20, seed0=0):
         wpath = os.path.join(OUT, f"w{t}.weights")
         save_weights(spec, random_params(spec, seed=t), wpath)
         img = os.path.join(OUT, f"i{t}.png")
-        Image.fromarray((rng.rand(56, 72, 3) * 255).astype(np.uint8)).save(img)
+        ih, iw = int(rng.randint(17, 230)), int(rng.randint(17, 230))
+        Image.fromarray((rng.rand(ih, iw, 3) * 255).astype(np.uint8)).save(img)
         for quant in ([False, True] if t % 2 == 0 else [False]):
             args = ["detector", "test", names, cfg, wpath, img,
                     "-thresh", "0.3", "-dont_show"] + (
