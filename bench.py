@@ -181,6 +181,27 @@ def main():
     spec = parse_network_cfg(cfg, batch=1)
     params = sparse_head_biases(
         spec, fuse_conv_batchnorm(spec, random_params(spec, seed=0)))
+    # Two distinct relay failure modes (diagnosed 2026-08-18):
+    #  * WEDGE — the listener is up but blocked; recovers in ~5-30 min.
+    #  * GONE  — the local relay endpoint (127.0.0.1:2297) refuses
+    #    connections: the host-side relay process died. jax.devices() still
+    #    hangs (the axon client retries internally), so probe the socket
+    #    directly to tell the operator which mode this is.
+    def relay_socket_state():
+        import socket
+        s = socket.socket()
+        s.settimeout(4)
+        try:
+            s.connect(("127.0.0.1", 2297))
+            return "listening"
+        except ConnectionRefusedError:
+            return "REFUSED (relay process gone — host-side restart needed)"
+        except Exception as e:
+            return f"{type(e).__name__}"
+        finally:
+            s.close()
+
+    log(f"relay socket 127.0.0.1:2297: {relay_socket_state()}")
     # Relay wedges recover by themselves in ~5-30 min (CLAUDE.md), so give
     # backend init three 15-min windows before giving up: a single wedge at
     # capture time must not cost the round its metric. Each attempt's blocked
