@@ -183,25 +183,45 @@ def main():
         spec, fuse_conv_batchnorm(spec, random_params(spec, seed=0)))
     # Two distinct relay failure modes (diagnosed 2026-08-18):
     #  * WEDGE — the listener is up but blocked; recovers in ~5-30 min.
-    #  * GONE  — the local relay endpoint (127.0.0.1:2297) refuses
-    #    connections: the host-side relay process died. jax.devices() still
-    #    hangs (the axon client retries internally), so probe the socket
-    #    directly to tell the operator which mode this is.
+    #  * GONE  — no relay listener at all: the host-side relay process died
+    #    (or the VM rebooted and it never came back). jax.devices() still
+    #    hangs either way (the axon client retries internally), so probe the
+    #    sockets directly to tell the operator which mode this is.
+    # The relay's ports are dynamic (fresh-VM reboot moved them 2297 ->
+    # 8082..8107), so enumerate loopback LISTEN ports from /proc/net/tcp
+    # instead of probing a hardcoded one.
     def relay_socket_state():
         import socket
+        try:
+            ports = set()
+            with open("/proc/net/tcp") as f:
+                next(f)
+                for line in f:
+                    parts = line.split()
+                    local, state = parts[1], parts[3]
+                    if state != "0A":     # TCP_LISTEN
+                        continue
+                    addr, port = local.split(":")
+                    if addr == "0100007F":  # 127.0.0.1
+                        ports.add(int(port, 16))
+        except Exception as e:
+            return f"port scan failed: {type(e).__name__}"
+        # our own inference-side listeners aren't the relay; the relay owns
+        # a BLOCK of loopback ports. No loopback listeners at all => GONE.
+        if not ports:
+            return "NO loopback listeners (relay process gone — host-side restart needed)"
+        probe = sorted(ports)[0]
         s = socket.socket()
         s.settimeout(4)
         try:
-            s.connect(("127.0.0.1", 2297))
-            return "listening"
-        except ConnectionRefusedError:
-            return "REFUSED (relay process gone — host-side restart needed)"
+            s.connect(("127.0.0.1", probe))
+            return f"{len(ports)} loopback listeners (e.g. :{probe}), connect ok"
         except Exception as e:
-            return f"{type(e).__name__}"
+            return f"{len(ports)} listeners but :{probe} connect failed ({type(e).__name__})"
         finally:
             s.close()
 
-    log(f"relay socket 127.0.0.1:2297: {relay_socket_state()}")
+    log(f"relay sockets: {relay_socket_state()}")
     # Relay wedges recover by themselves in ~5-30 min (CLAUDE.md), so give
     # backend init three 15-min windows before giving up: a single wedge at
     # capture time must not cost the round its metric. Each attempt's blocked
