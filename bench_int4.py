@@ -35,9 +35,18 @@ def chained_gemm_rate(M, K, N, dtype_name, rep=100, runs=5):
     dt = {"int8": jnp.int8, "int4": jnp.int4}[dtype_name]
     lim = 127 if dtype_name == "int8" else 7
     rng = np.random.RandomState(0)
-    # K must match M for chaining: use square-ish x [M,K] @ w [K,K]
-    x0 = jnp.asarray(rng.randint(-lim, lim + 1, (M, K)).astype(np.int8)).astype(dt)
-    w = jnp.asarray(rng.randint(-lim, lim + 1, (K, K)).astype(np.int8)).astype(dt)
+    # K must match M for chaining: use square-ish x [M,K] @ w [K,K].
+    # Ship int8 and cast ON DEVICE: the axon relay's device_put has no int4
+    # handler (UNIMPLEMENTED, measured 2026-08-18), but an on-device
+    # int8->int4 convert is fine and never crosses the host boundary.
+    try:
+        x0 = jax.jit(lambda a: a.astype(dt))(
+            jnp.asarray(rng.randint(-lim, lim + 1, (M, K)).astype(np.int8)))
+        w = jax.jit(lambda a: a.astype(dt))(
+            jnp.asarray(rng.randint(-lim, lim + 1, (K, K)).astype(np.int8)))
+        jax.block_until_ready(w)
+    except Exception as e:
+        return None, f"device int4 cast failed: {type(e).__name__}: {str(e)[:160]}"
 
     shift = max(0, int(np.ceil(np.log2(K * lim))) - 2)
 
@@ -77,8 +86,12 @@ def main():
         (676 * 32, 512, 512),  # 26^2 stage, b=32
         (169 * 32, 1024, 1024),  # 13^2 stage, b=32
     ]
-    for M, K, N in shapes:
-        for d in ("int8", "int4"):
+    # dtype-major order, int8 FIRST: a failed int4 compile POISONS the axon
+    # process (every later probe in-process fails UNIMPLEMENTED, including
+    # plain int8 — measured 2026-08-18), so all int8 measurements must land
+    # before the first int4 attempt.
+    for d in ("int8", "int4"):
+        for M, K, N in shapes:
             tops, note = chained_gemm_rate(M, K, N, d,
                                            rep=100 if M < 8192 else 30)
             if tops is None:
