@@ -216,19 +216,32 @@ def main(n_nets=20, seed0=0):
         img = os.path.join(OUT, f"i{t}.png")
         ih, iw = int(rng.randint(17, 230)), int(rng.randint(17, 230))
         Image.fromarray((rng.rand(ih, iw, 3) * 255).astype(np.uint8)).save(img)
-        for quant in ([False, True] if t % 2 == 0 else [False]):
+        # variants: (quantized, pp_stages). pp=2 stresses the pipeline
+        # stage-splitter's carried-tensor liveness over the random
+        # route/shortcut topology (fp32 pp is bit-identical to single-device
+        # at equal microbatch, so the strict stream diff applies unchanged).
+        variants = [(False, 0)]
+        if t % 2 == 0:
+            variants.append((True, 0))
+        if t % 3 == 0:
+            variants.append((False, 2))
+        for quant, pp in variants:
             args = ["detector", "test", names, cfg, wpath, img,
                     "-thresh", "0.3", "-dont_show"] + (
                         ["-quantized"] if quant else [])
             ro = subprocess.run([ORACLE] + args, capture_output=True,
                                 text=True, timeout=300, cwd=OUT)
+            env = {**os.environ, "YOLO2_TPU_PLATFORM": "cpu",
+                   "PYTHONPATH": "/root/repo"}
+            our_args = list(args)
+            if pp:
+                our_args += ["-pp", str(pp)]
+                env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                                    f" --xla_force_host_platform_device_count={pp}")
             ru = subprocess.run([sys.executable, "-m", "yolo2_light_tpu"]
-                                + args, capture_output=True, text=True,
-                                timeout=300, cwd=OUT,
-                                env={**os.environ,
-                                     "YOLO2_TPU_PLATFORM": "cpu",
-                                     "PYTHONPATH": "/root/repo"})
-            tag = f"net{t} q{int(quant)}"
+                                + our_args, capture_output=True, text=True,
+                                timeout=300, cwd=OUT, env=env)
+            tag = f"net{t} q{int(quant)}" + (f" pp{pp}" if pp else "")
             if ro.returncode != 0:
                 print(f"[{tag}] oracle rc={ro.returncode}: "
                       f"{ro.stderr[-120:]!r} (skipping)")

@@ -25,7 +25,7 @@ bilinear resize runs on device — frees the serving host, and uint8 ingest
 then carries raw camera bytes with no re-quantization),
 -parallel N -tp M -sp K
 (map sharding: data x tensor x spatial mesh axes),
--pp S (map/demo: pipeline parallelism — BFLOPs-balanced layer stages on S
+-pp S (test/map/demo: pipeline parallelism — BFLOPs-balanced layer stages on S
 devices, GPipe wavefront microbatching; parallel/pp.py),
 -params_cache DIR (converted-weights cache),
 -input_calibration N / -calib_method device|host (calibrate), -profile DIR, -i N,
@@ -228,13 +228,15 @@ def _main(argv=None) -> int:
                     int8_policy=int8_policy, save_path=save_path,
                     letter=letterbox, xnor_impl=xnor_kernel,
                     compute_dtype=compute_dtype, params_cache=params_cache,
-                    turbo=turbo, int8_impl=int8_impl)
+                    turbo=turbo, int8_impl=int8_impl,
+                    pp_stages=pipeline_parallel)
         else:
             run(names, cfg, weights, filename, thresh=thresh, quantized=quantized,
                 dont_show=dont_show, int8_policy=int8_policy, save_path=save_path,
                 letter=letterbox, xnor_impl=xnor_kernel,
                 compute_dtype=compute_dtype, params_cache=params_cache,
-                turbo=turbo, int8_impl=int8_impl)
+                turbo=turbo, int8_impl=int8_impl,
+                pp_stages=pipeline_parallel)
         return 0
     elif sub == "map":
         from .map import validate_detector_map

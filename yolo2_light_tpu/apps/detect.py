@@ -75,20 +75,44 @@ def build_params(cfgfile: str, weightfile, quantized: bool = False,
     return spec, params, mode
 
 
+class _PipelinedAdapter:
+    """Predictor-interface shim over PipelinedPredictor: heads-only __call__
+    (the pipeline additionally returns its carried-state aux, which the apps
+    never consume)."""
+
+    def __init__(self, ppred):
+        self._pp = ppred
+        self.spec = ppred.spec
+
+    def __call__(self, x):
+        heads, _aux = self._pp(x)
+        return heads
+
+    def head_specs(self):
+        return self._pp.head_specs()
+
+
 def build_predictor(cfgfile: str, weightfile, quantized: bool = False,
                     int8_policy: str = "cpu", batch: int = 1,
                     compute_dtype=None, seed: int = 0, xnor_impl: str = "int8",
                     params_cache=None, turbo: bool = False,
-                    int8_impl: str = "xla"):
+                    int8_impl: str = "xla", pp_stages: int = 0):
     import jax.numpy as jnp
     spec, params, mode = build_params(cfgfile, weightfile, quantized,
                                       batch=batch, seed=seed,
                                       params_cache=params_cache,
                                       quant_banner=True)
     cd = compute_dtype if compute_dtype is not None else jnp.float32
-    pred = Predictor(spec, params, mode, int8_policy=int8_policy,
-                     compute_dtype=cd, xnor_impl=xnor_impl, turbo=turbo,
-                     int8_impl=int8_impl)
+    if pp_stages and pp_stages > 1:
+        from ..parallel.pp import PipelinedPredictor
+        pred = _PipelinedAdapter(PipelinedPredictor(
+            spec, params, mode, n_stages=pp_stages, microbatch=1,
+            int8_policy=int8_policy, compute_dtype=cd, xnor_impl=xnor_impl,
+            turbo=turbo, int8_impl=int8_impl))
+    else:
+        pred = Predictor(spec, params, mode, int8_policy=int8_policy,
+                         compute_dtype=cd, xnor_impl=xnor_impl, turbo=turbo,
+                         int8_impl=int8_impl)
     return spec, pred
 
 
@@ -134,14 +158,14 @@ def run(names, cfgfile: str, weightfile, filename, thresh: float = 0.24,
         int8_policy: str = "cpu", save_path: str = "predictions",
         letter: bool = False, xnor_impl: str = "int8",
         compute_dtype=None, params_cache=None, turbo: bool = False,
-        int8_impl: str = "xla") -> str:
+        int8_impl: str = "xla", pp_stages: int = 0) -> str:
     """Single-image detect; with no filename, loops reading image paths from stdin
     (reference: test_detector_cpu while(1) fgets loop, src/main.c:176-186)."""
     spec, pred = build_predictor(cfgfile, weightfile, quantized,
                                  int8_policy=int8_policy, xnor_impl=xnor_impl,
                                  compute_dtype=compute_dtype,
                                  params_cache=params_cache, turbo=turbo,
-                                 int8_impl=int8_impl)
+                                 int8_impl=int8_impl, pp_stages=pp_stages)
     nms = 0.2 if quantized else 0.4  # reference: src/main.c:174,213
     head_specs = pred.head_specs()
     classes = head_specs[-1].classes if head_specs else 0

@@ -189,3 +189,8 @@ class PipelinedPredictor:
                  for m in range(M)], axis=0)
             out.append(HeadOutput(idx, kind, data))
         return tuple(out), {"final": cur}
+
+    def head_specs(self):
+        from ..cfg import RegionSpec, YoloSpec
+        return [l for l in self.spec.layers
+                if isinstance(l, (YoloSpec, RegionSpec))]
