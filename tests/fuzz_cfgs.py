@@ -239,16 +239,18 @@ def main(n_nets=20, seed0=0):
         img = os.path.join(OUT, f"i{t}.png")
         ih, iw = int(rng.randint(17, 230)), int(rng.randint(17, 230))
         Image.fromarray((rng.rand(ih, iw, 3) * 255).astype(np.uint8)).save(img)
-        # variants: (quantized, pp_stages). pp=2 stresses the pipeline
+        # variants: (quantized, pp_stages, pp_tp). pp=2 stresses the pipeline
         # stage-splitter's carried-tensor liveness over the random
         # route/shortcut topology (fp32 pp is bit-identical to single-device
-        # at equal microbatch, so the strict stream diff applies unchanged).
-        variants = [(False, 0)]
+        # at equal microbatch, so the strict stream diff applies unchanged);
+        # every 6th net composes pp with tp=2-sharded stages (4 virtual
+        # devices, GSPMD channel sharding inside each stage).
+        variants = [(False, 0, 1)]
         if t % 2 == 0:
-            variants.append((True, 0))
+            variants.append((True, 0, 1))
         if t % 3 == 0:
-            variants.append((False, 2))
-        for quant, pp in variants:
+            variants.append((False, 2, 2 if t % 6 == 0 else 1))
+        for quant, pp, tp in variants:
             args = ["detector", "test", names, cfg, wpath, img,
                     "-thresh", "0.3", "-dont_show"] + (
                         ["-quantized"] if quant else [])
@@ -259,12 +261,16 @@ def main(n_nets=20, seed0=0):
             our_args = list(args)
             if pp:
                 our_args += ["-pp", str(pp)]
-                env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
-                                    f" --xla_force_host_platform_device_count={pp}")
+                if tp > 1:
+                    our_args += ["-pp_tp", str(tp)]
+                env["XLA_FLAGS"] = (
+                    env.get("XLA_FLAGS", "") +
+                    f" --xla_force_host_platform_device_count={pp * tp}")
             ru = subprocess.run([sys.executable, "-m", "yolo2_light_tpu"]
                                 + our_args, capture_output=True, text=True,
                                 timeout=300, cwd=OUT, env=env)
-            tag = f"net{t} q{int(quant)}" + (f" pp{pp}" if pp else "")
+            tag = (f"net{t} q{int(quant)}" + (f" pp{pp}" if pp else "")
+                   + (f" tp{tp}" if tp > 1 else ""))
             if ro.returncode != 0:
                 print(f"[{tag}] oracle rc={ro.returncode}: "
                       f"{ro.stderr[-120:]!r} (skipping)")
@@ -276,9 +282,12 @@ def main(n_nets=20, seed0=0):
             # the persistent XLA compile cache can emit glog warnings when
             # AOT entries were compiled under different machine features —
             # environment noise, not parity
+            # filter glog noise AND our own "note:" operational diagnostics
+            # (e.g. the K-saturation auto-grow note) — ours-only stderr lines
+            # that carry no reference-parity content
             glog = lambda t: "\n".join(
                 l for l in t.splitlines()
-                if not re.match(r"^[EWI]\d{4} ", l)) + "\n"
+                if not re.match(r"^([EWI]\d{4} |note: )", l)) + "\n"
             if glog(ru.stderr) != glog(ro.stderr):
                 import difflib
                 d = list(difflib.unified_diff(glog(ro.stderr).splitlines(),
@@ -349,7 +358,7 @@ def main(n_nets=20, seed0=0):
             else:
                 glog = lambda t: [
                     l for l in t.splitlines()
-                    if not re.match(r"^[EWI]\d{4} ", l)
+                    if not re.match(r"^([EWI]\d{4} |note: )", l)
                     and "Total Detection Time" not in l]
                 if glog(ru.stderr) != glog(ro.stderr):
                     import difflib

@@ -27,6 +27,8 @@ then carries raw camera bytes with no re-quantization),
 (map sharding: data x tensor x spatial mesh axes),
 -pp S (test/map/demo: pipeline parallelism — BFLOPs-balanced layer stages on S
 devices, GPipe wavefront microbatching; parallel/pp.py),
+-pp_tp T (with -pp: tensor-parallel width INSIDE each pipeline stage — every
+stage becomes a T-device model-axis mesh, S*T devices total),
 -params_cache DIR (converted-weights cache),
 -input_calibration N / -calib_method device|host (calibrate), -profile DIR, -i N,
 -turbo (TPU-native extension: materialize inter-layer activations as bf16 —
@@ -196,6 +198,7 @@ def _main(argv=None) -> int:
     tensor_parallel = _find_value(args, "-tp", 0, int)
     spatial_parallel = _find_value(args, "-sp", 0, int)
     pipeline_parallel = _find_value(args, "-pp", 0, int)
+    pp_tensor_parallel = _find_value(args, "-pp_tp", 1, int)
     profile_dir = _find_value(args, "-profile", None)
 
     if len(args) < 2:
@@ -229,14 +232,14 @@ def _main(argv=None) -> int:
                     letter=letterbox, xnor_impl=xnor_kernel,
                     compute_dtype=compute_dtype, params_cache=params_cache,
                     turbo=turbo, int8_impl=int8_impl,
-                    pp_stages=pipeline_parallel)
+                    pp_stages=pipeline_parallel, pp_tp=pp_tensor_parallel)
         else:
             run(names, cfg, weights, filename, thresh=thresh, quantized=quantized,
                 dont_show=dont_show, int8_policy=int8_policy, save_path=save_path,
                 letter=letterbox, xnor_impl=xnor_kernel,
                 compute_dtype=compute_dtype, params_cache=params_cache,
                 turbo=turbo, int8_impl=int8_impl,
-                pp_stages=pipeline_parallel)
+                pp_stages=pipeline_parallel, pp_tp=pp_tensor_parallel)
         return 0
     elif sub == "map":
         from .map import validate_detector_map
@@ -252,6 +255,7 @@ def _main(argv=None) -> int:
                               tensor_parallel=tensor_parallel,
                               spatial_parallel=spatial_parallel,
                               pipeline_parallel=pipeline_parallel,
+                              pp_tp=pp_tensor_parallel,
                               compute_dtype=compute_dtype,
                               params_cache=params_cache,
                               device_nms=device_nms, turbo=turbo,
@@ -284,7 +288,7 @@ def _main(argv=None) -> int:
              batch=batch, params_cache=params_cache, device_nms=device_nms,
              uint8_ingest=uint8_ingest, turbo=turbo, int8_impl=int8_impl,
              device_resize=device_resize,
-             pipeline_parallel=pipeline_parallel,
+             pipeline_parallel=pipeline_parallel, pp_tp=pp_tensor_parallel,
              **({"k": topk} if topk > 0 else {}))
         return 0
     print(f"Not an option: {sub}", file=sys.stderr)

@@ -73,7 +73,7 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
          batch: int = 0, params_cache=None, device_nms: bool = False,
          k: int = 256, uint8_ingest=None, turbo: bool = False,
          int8_impl: str = "xla", device_resize: bool = False,
-         pipeline_parallel: int = 0) -> int:
+         pipeline_parallel: int = 0, pp_tp: int = 1) -> int:
     """Returns number of frames processed. Dense convs default to bf16 on the MXU
     (real-time video favors speed; non-quantized frames then also ship as
     uint8 — 4x fewer H2D bytes at <=1/510 per-pixel ingest error); pass
@@ -99,7 +99,7 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
                              compute_dtype=cd, device_nms=device_nms,
                              turbo=turbo, int8_impl=int8_impl,
                              pp_stages=max(0, pipeline_parallel),
-                             pp_microbatch=1)
+                             pp_tp=pp_tp, pp_microbatch=1)
     classes = pipe.classes
     if batch <= 0:
         batch = 4 if filename else 1

@@ -96,7 +96,8 @@ def build_predictor(cfgfile: str, weightfile, quantized: bool = False,
                     int8_policy: str = "cpu", batch: int = 1,
                     compute_dtype=None, seed: int = 0, xnor_impl: str = "int8",
                     params_cache=None, turbo: bool = False,
-                    int8_impl: str = "xla", pp_stages: int = 0):
+                    int8_impl: str = "xla", pp_stages: int = 0,
+                    pp_tp: int = 1):
     import jax.numpy as jnp
     spec, params, mode = build_params(cfgfile, weightfile, quantized,
                                       batch=batch, seed=seed,
@@ -108,7 +109,7 @@ def build_predictor(cfgfile: str, weightfile, quantized: bool = False,
         pred = _PipelinedAdapter(PipelinedPredictor(
             spec, params, mode, n_stages=pp_stages, microbatch=1,
             int8_policy=int8_policy, compute_dtype=cd, xnor_impl=xnor_impl,
-            turbo=turbo, int8_impl=int8_impl))
+            turbo=turbo, int8_impl=int8_impl, tp=max(1, pp_tp)))
     else:
         pred = Predictor(spec, params, mode, int8_policy=int8_policy,
                          compute_dtype=cd, xnor_impl=xnor_impl, turbo=turbo,
@@ -158,14 +159,15 @@ def run(names, cfgfile: str, weightfile, filename, thresh: float = 0.24,
         int8_policy: str = "cpu", save_path: str = "predictions",
         letter: bool = False, xnor_impl: str = "int8",
         compute_dtype=None, params_cache=None, turbo: bool = False,
-        int8_impl: str = "xla", pp_stages: int = 0) -> str:
+        int8_impl: str = "xla", pp_stages: int = 0, pp_tp: int = 1) -> str:
     """Single-image detect; with no filename, loops reading image paths from stdin
     (reference: test_detector_cpu while(1) fgets loop, src/main.c:176-186)."""
     spec, pred = build_predictor(cfgfile, weightfile, quantized,
                                  int8_policy=int8_policy, xnor_impl=xnor_impl,
                                  compute_dtype=compute_dtype,
                                  params_cache=params_cache, turbo=turbo,
-                                 int8_impl=int8_impl, pp_stages=pp_stages)
+                                 int8_impl=int8_impl, pp_stages=pp_stages,
+                                 pp_tp=pp_tp)
     nms = 0.2 if quantized else 0.4  # reference: src/main.c:174,213
     head_specs = pred.head_specs()
     classes = head_specs[-1].classes if head_specs else 0

@@ -40,7 +40,7 @@ def validate_detector_map(datacfg: str, cfgfile: str, weightfile, *,
                           device_nms: bool = False,
                           turbo: bool = False,
                           int8_impl: str = "xla",
-                          pipeline_parallel: int = 0) -> dict:
+                          pipeline_parallel: int = 0, pp_tp: int = 1) -> dict:
     import jax.numpy as jnp
 
     options = read_data_cfg(datacfg)
@@ -69,7 +69,7 @@ def validate_detector_map(datacfg: str, cfgfile: str, weightfile, *,
                              int8_policy=int8_policy, compute_dtype=cd,
                              mesh=mesh, device_nms=device_nms, turbo=turbo,
                              int8_impl=int8_impl,
-                             pp_stages=pp,
+                             pp_stages=pp, pp_tp=pp_tp,
                              pp_microbatch=max(1, batch // max(1, pp)))
     classes = pipe.classes
 

@@ -84,22 +84,46 @@ class PipelinedPredictor:
     (<=1 ULP on <1% of entries — the same cross-program class as the XNOR
     caveat in ops/pallas_xnor.py).
 
-    ``devices``: one per stage (defaults to ``jax.devices()[:n_stages]``).
+    ``devices``: one per stage (defaults to ``jax.devices()[:n_stages]``);
+    with ``tp > 1``, ``n_stages * tp`` devices, consumed ``tp`` per stage.
     ``microbatch``: rows per pipeline step (B must divide evenly).
+    ``tp``: tensor-parallel width WITHIN each stage — every stage becomes a
+    ``tp``-device model-axis mesh (conv output channels GSPMD-sharded exactly
+    as parallel/mesh.py does globally), composing the layer axis (pp) with
+    the channel axis (tp). Inter-stage transfers reshard via ``device_put``
+    between the stage meshes. Unlike pure pp, tp>1 is NOT bit-identical to
+    the single-device program: the SPMD-partitioned executable tiles its
+    convs differently, the same sub-ULP reassociation class as the global tp
+    mesh (measured 2.4e-7 max abs on mini-yolo3 fp32 — caveat (a) above).
     """
 
     def __init__(self, spec: ModelSpec, params: list, mode: str = "fp32", *,
                  n_stages: int = 2, microbatch: int = 1, devices=None,
                  int8_policy: str = "cpu", compute_dtype=jnp.float32,
                  xnor_impl: str = "int8", int8_impl: str = "xla",
-                 turbo: bool = False):
+                 turbo: bool = False, tp: int = 1):
         self.spec = spec
         self.n_stages = n_stages
         self.microbatch = microbatch
-        devs = devices if devices is not None else jax.devices()[:n_stages]
-        if len(devs) < n_stages:
-            raise ValueError(f"need {n_stages} devices, have {len(devs)}")
-        self.devices = devs[:n_stages]
+        self.tp = tp
+        need = n_stages * tp
+        devs = devices if devices is not None else jax.devices()[:need]
+        if len(devs) < need:
+            raise ValueError(f"need {need} devices, have {len(devs)}")
+        if tp > 1:
+            import numpy as np
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+            self.stage_meshes = [
+                Mesh(np.array(devs[s * tp:(s + 1) * tp]).reshape(1, 1, tp),
+                     ("data", "space", "model")) for s in range(n_stages)]
+            # device_put target per stage: replicated-on-mesh for activations
+            # (GSPMD propagates the channel sharding from the weights)
+            self.placements = [NamedSharding(m, P())
+                               for m in self.stage_meshes]
+        else:
+            self.stage_meshes = None
+            self.placements = list(devs[:n_stages])
+        self.devices = devs[:need]
         self.ranges = split_stages(spec, n_stages)
         self.carried_sets = [carried_for_boundary(spec, stop)
                              for (_s, stop) in self.ranges[:-1]] + [set()]
@@ -113,7 +137,13 @@ class PipelinedPredictor:
             p = [None] * spec.n
             for i in range(a, b):
                 if params[i] is not None:
-                    p[i] = jax.device_put(params[i], self.devices[s])
+                    p[i] = params[i]
+            if tp > 1:
+                from .mesh import shard_params
+                p = shard_params(spec, p, self.stage_meshes[s])
+            else:
+                p = [jax.device_put(v, self.placements[s])
+                     if v is not None else None for v in p]
             self.stage_params.append(p)
 
         from ..cfg import RegionSpec, YoloSpec
@@ -165,7 +195,7 @@ class PipelinedPredictor:
                 m = k - s
                 if m < 0 or m >= M:
                     continue
-                dev = self.devices[s]
+                dev = self.placements[s]
                 if s == 0:
                     xin = jax.device_put(x[m * mb:(m + 1) * mb], dev)
                 else:
@@ -181,7 +211,7 @@ class PipelinedPredictor:
 
         # reassemble full-batch heads in head order (concat microbatches)
         meta = [hm for metas in self.stage_head_meta for hm in metas]
-        dev_last = self.devices[-1]
+        dev_last = self.placements[-1]
         out = []
         for hi, (idx, kind) in enumerate(meta):
             data = jnp.concatenate(

@@ -65,7 +65,7 @@ class DetectionPipeline:
                  letter: bool = False, packed_dtype=jnp.float32,
                  xnor_impl: str = "int8", mesh=None, device_nms: bool = False,
                  turbo: bool = False, int8_impl: str = "xla",
-                 pp_stages: int = 0, pp_microbatch: int = 1):
+                 pp_stages: int = 0, pp_microbatch: int = 1, pp_tp: int = 1):
         self.spec = spec
         self.thresh = thresh
         self.nms = nms
@@ -82,6 +82,7 @@ class DetectionPipeline:
         self._packed_dtype = packed_dtype
         self._pp_stages = int(pp_stages)
         self._pp_microbatch = int(pp_microbatch)
+        self._pp_tp = max(1, int(pp_tp))
         if pp_stages > 1 and mesh is not None:
             raise ValueError("pp_stages and mesh are mutually exclusive "
                              "(pipeline stages own whole devices)")
@@ -96,7 +97,7 @@ class DetectionPipeline:
                 spec, params, mode, n_stages=pp_stages,
                 microbatch=max(1, pp_microbatch), int8_policy=int8_policy,
                 compute_dtype=compute_dtype, xnor_impl=xnor_impl,
-                int8_impl=int8_impl, turbo=turbo)
+                int8_impl=int8_impl, turbo=turbo, tp=self._pp_tp)
         if mesh is not None and (mesh.shape.get("model", 1) > 1
                                  or mesh.shape.get("space", 1) > 1):
             # tensor-parallel: shard straight from the host params —
@@ -203,7 +204,7 @@ class DetectionPipeline:
     def raw(self, images):
         """Packed device output [B,K,4+1+classes] — still on device."""
         if self._pp is not None:
-            dev0, devN = self._pp.devices[0], self._pp.devices[-1]
+            dev0, devN = self._pp.placements[0], self._pp.placements[-1]
             x = self._pp_ingest(jax.device_put(jnp.asarray(images), dev0))
             heads, _ = self._pp(x)
             datas = [jax.device_put(h.data, devN) for h in heads]
@@ -287,7 +288,8 @@ class DetectionPipeline:
                 xnor_impl=self._xnor_impl, mesh=self._mesh,
                 packed_dtype=self._packed_dtype, device_nms=self.device_nms,
                 turbo=self._turbo, int8_impl=self._int8_impl,
-                pp_stages=self._pp_stages, pp_microbatch=self._pp_microbatch)
+                pp_stages=self._pp_stages, pp_microbatch=self._pp_microbatch,
+                pp_tp=self._pp_tp)
             self._grown_cache = cached
         return cached
 
