@@ -177,3 +177,53 @@ def test_sp_weights_replicated_3x3_sharded_1x1(tmp_path):
                 assert per_dev == full, (l.index, k, "3x3 sharded under sp!")
                 checked_3x3 += 1
     assert checked_3x3 > 0, "no 3x3 kernels checked"
+
+
+@needs8
+def test_pp_tp_stage_program_is_sharded(tmp_path):
+    """pp x tp composition: the compiled STAGE program must itself be SPMD-
+    sharded — per-device conv outputs carry out_c/tp channels and per-device
+    parameter bytes halve — with a bounded collective inventory (channel
+    re-layout only; no reduce-scatter, since output-channel sharding never
+    splits a contraction)."""
+    from yolo2_light_tpu.parallel.pp import PipelinedPredictor
+    spec = parse_network_cfg(_tiny128(tmp_path), batch=1)
+    params = fuse_conv_batchnorm(spec, random_params(spec, seed=2))
+    pp = PipelinedPredictor(spec, params, "fp32", n_stages=2, microbatch=1,
+                            tp=2)
+    x = np.zeros((1, spec.net.h, spec.net.w, 3), np.float32)
+    xin = jax.device_put(x, pp.placements[0])
+    compiled = pp.stage_fns[0].lower(
+        pp.stage_params[0], xin, {}).compile()
+    text = compiled.as_text()
+
+    a, b = pp.ranges[0]
+    want = Counter()
+    for l in spec.layers[a:b]:
+        if isinstance(l, ConvSpec) and l.n % 2 == 0:
+            want[l.n // 2] += 1
+    got = Counter(s[-1] for s in _conv_shapes(text))
+    got += Counter(s[-1] for s in _dot_shapes(text))
+    for ch, cnt in want.items():
+        assert got[ch] >= cnt, (
+            f"stage program lacks {cnt} conv/dot outputs with {ch} "
+            f"(=n/2) channels: {dict(got)}")
+
+    # per-device parameter bytes: >90% of the stage's kernel bytes sharded
+    total = per_dev = 0
+    for i in range(a, b):
+        p = pp.stage_params[0][i]
+        if p is None:
+            continue
+        for v in p.values():
+            if getattr(v, "ndim", 0) != 4:
+                continue
+            total += int(np.prod(v.shape)) * v.dtype.itemsize
+            per_dev += v.addressable_shards[0].data.nbytes
+    assert total and per_dev < 0.55 * total, (per_dev, total)
+
+    counts = Counter()
+    for c in COLLECTIVES:
+        counts[c] = len(re.findall(rf"{c}\(|{c}-start\(", text))
+    assert counts["reduce-scatter"] == 0, counts
+    assert sum(counts.values()) <= 3 * (b - a), counts
