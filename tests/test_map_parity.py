@@ -288,3 +288,27 @@ def test_map_cli_streams_identical(oracle, dataset, tmp_path):
                 if "Total Detection Time" not in l
                 and "candidate buffer" not in l]
     assert strip(res_u.stderr) == strip(res_o.stderr)
+
+
+def test_map_pp_tp_matches_single(dataset, tmp_path):
+    """Composed pipeline(2) x tensor(2) evaluation over 4 virtual devices:
+    same matching counts; mAP within the sub-ULP SPMD reassociation class
+    (pp alone is bit-exact; tp re-tiles convs — parallel/pp.py docstring)."""
+    import jax
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs 4 devices")
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec = parse_network_cfg(cfg, batch=1)
+    weights = str(tmp_path / "w.weights")
+    save_weights(spec, random_params(spec, seed=11), weights)
+    from yolo2_light_tpu.apps.map import validate_detector_map
+    single = validate_detector_map(dataset["data"], cfg, weights, thresh=0.24,
+                                   batch=2, k=4096)
+    composed = validate_detector_map(dataset["data"], cfg, weights,
+                                     thresh=0.24, batch=2, k=4096,
+                                     pipeline_parallel=2, pp_tp=2)
+    assert single["unique_truth_count"] == composed["unique_truth_count"]
+    assert single["tp"] == composed["tp"]
+    assert single["fp"] == composed["fp"]
+    assert abs(single["mAP"] - composed["mAP"]) < 1e-6
