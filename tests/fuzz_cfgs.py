@@ -279,19 +279,16 @@ def main(n_nets=20, seed0=0):
                 print(f"[{tag}] OURS rc={ru.returncode}: {ru.stderr[-200:]!r}")
                 fails += 1
                 continue
-            # the persistent XLA compile cache can emit glog warnings when
-            # AOT entries were compiled under different machine features —
-            # environment noise, not parity
-            # filter glog noise AND our own "note:" operational diagnostics
-            # (e.g. the K-saturation auto-grow note) — ours-only stderr lines
-            # that carry no reference-parity content
-            glog = lambda t: "\n".join(
-                l for l in t.splitlines()
-                if not re.match(r"^([EWI]\d{4} |note: )", l)) + "\n"
-            if glog(ru.stderr) != glog(ro.stderr):
+            # environment log noise (glog/absl, both streams) and ours-only
+            # diagnostics (OUR stream only — a reference-side 'note:' line
+            # would still diff): shared filter, unit-tested in
+            # tests/test_stream_filters.py
+            from util_parity import clean_stream
+            eo = clean_stream(ro.stderr)
+            eu = clean_stream(ru.stderr, ours=True)
+            if eu != eo:
                 import difflib
-                d = list(difflib.unified_diff(glog(ro.stderr).splitlines(),
-                                              glog(ru.stderr).splitlines(),
+                d = list(difflib.unified_diff(eo, eu,
                                               "oracle", "ours", lineterm=""))
                 print(f"[{tag}] STDERR DIFF:\n" + "\n".join(d[:12]))
                 fails += 1
@@ -356,14 +353,13 @@ def main(n_nets=20, seed0=0):
                 print(f"[{tag}] OURS rc={ru.returncode}: {ru.stderr[-200:]!r}")
                 fails += 1
             else:
-                glog = lambda t: [
-                    l for l in t.splitlines()
-                    if not re.match(r"^([EWI]\d{4} |note: )", l)
-                    and "Total Detection Time" not in l]
-                if glog(ru.stderr) != glog(ro.stderr):
+                from util_parity import clean_stream
+                eo = clean_stream(ro.stderr, drop=("Total Detection Time",))
+                eu = clean_stream(ru.stderr, ours=True,
+                                  drop=("Total Detection Time",))
+                if eu != eo:
                     import difflib
-                    d = list(difflib.unified_diff(glog(ro.stderr),
-                                                  glog(ru.stderr),
+                    d = list(difflib.unified_diff(eo, eu,
                                                   "oracle", "ours",
                                                   lineterm=""))
                     print(f"[{tag}] STDERR DIFF:\n" + "\n".join(d[:12]))

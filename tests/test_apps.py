@@ -307,10 +307,8 @@ def test_show_image_no_opencv_note(oracle, tmp_path):
     res_u = subprocess.run([_sys.executable, "-m", "yolo2_light_tpu"] + args,
                            capture_output=True, text=True, timeout=300,
                            cwd=str(tmp_path), env=env)
-    import re as _re
-    noglog = lambda t: [l for l in t.splitlines()
-                        if not _re.match(r"^[EWI]\d{4} ", l)]
-    assert noglog(res_u.stderr) == noglog(res_o.stderr)
+    from .util_parity import assert_streams_match
+    assert_streams_match(res_u.stderr, res_o.stderr, context="show stderr")
     strip = lambda t: [l for l in t.splitlines() if "Predicted in" not in l]
     assert strip(res_u.stdout) == strip(res_o.stdout)
     assert "Not compiled with OpenCV" in res_u.stderr

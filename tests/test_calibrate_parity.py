@@ -149,4 +149,6 @@ def test_calibrate_host_streams_identical(oracle, calib_dataset, tmp_path):
         env=env, stdin=subprocess.DEVNULL)
     assert res_u.returncode == 0, res_u.stderr[-800:]
     assert res_u.stdout == res_o.stdout
-    assert res_u.stderr == res_o.stderr
+    from .util_parity import assert_streams_match
+    assert_streams_match(res_u.stderr, res_o.stderr,
+                         context="calibrate stderr")

@@ -291,11 +291,8 @@ def test_cli_stderr_identical_to_oracle(oracle, cfgname, extra, tmp_path):
                            cwd=REPO, env=env)
     assert res_u.returncode == 0, res_u.stderr[-800:]
 
-    def noglog(t):
-        # drop glog warnings the persistent XLA AOT cache can emit
-        import re as _re
-        return [l for l in t.splitlines() if not _re.match(r"^[EWI]\d{4} ", l)]
-    assert noglog(res_u.stderr) == noglog(res_o.stderr)
+    from .util_parity import assert_streams_match
+    assert_streams_match(res_u.stderr, res_o.stderr, context="test stderr")
     # stdout too, modulo the wall-clock line
     strip = lambda t: [l for l in t.splitlines() if "Predicted in" not in l]
     assert strip(res_u.stdout) == strip(res_o.stdout)

@@ -283,11 +283,10 @@ def test_map_cli_streams_identical(oracle, dataset, tmp_path):
     assert res_u.returncode == 0, res_u.stderr[-800:]
     assert res_u.stdout == res_o.stdout
 
-    def strip(t):
-        return [l for l in t.splitlines()
-                if "Total Detection Time" not in l
-                and "candidate buffer" not in l]
-    assert strip(res_u.stderr) == strip(res_o.stderr)
+    from .util_parity import assert_streams_match
+    assert_streams_match(res_u.stderr, res_o.stderr,
+                         drop=("Total Detection Time",),
+                         context="map stderr")
 
 
 def test_map_pp_tp_matches_single(dataset, tmp_path):

