@@ -160,6 +160,17 @@ def test_cli_usage_errors():
     assert "Not an option" in r.stderr
 
 
+def test_cli_pp_tp_without_pp_errors(capsys):
+    """-pp_tp T without -pp S (S>1) must error loudly, not silently run
+    single-device (advisor round 3): pp_tp is only consumed inside pipeline
+    stages."""
+    from yolo2_light_tpu.apps.cli import _main
+    rc = _main(["detector", "test", "n.names", "c.cfg", "w.weights",
+                "-pp_tp", "2"])
+    assert rc == 1
+    assert "-pp_tp requires -pp" in capsys.readouterr().err
+
+
 def test_cli_missing_files():
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
     r = subprocess.run([sys.executable, "-m", "yolo2_light_tpu", "detector",

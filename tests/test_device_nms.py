@@ -138,16 +138,25 @@ def test_pipeline_device_nms_autogrow(capsys):
         assert d_small.n == d_big.n
 
 
-def test_device_nms_stream_saturation_warning(capsys):
-    """stream() cannot auto-grow; with device NMS the saturation signal is the
-    pre-NMS flag row — the warning must still fire on a saturated tiny K."""
+def test_device_nms_stream_saturation_autogrow(capsys):
+    """stream() auto-grows like __call__; with device NMS the saturation
+    signal is the pre-NMS flag row — a saturated tiny K re-runs the batch at
+    Kx4 (recursing until unsaturated) and converges to the big-buffer result."""
     cfg = os.path.join(DATA, "mini-yolo3.cfg")
     spec = parse_network_cfg(cfg, batch=1)
     params = fuse_conv_batchnorm(spec, random_params(spec, seed=2))
     x = np.random.RandomState(0).rand(
         1, spec.net.h, spec.net.w, spec.net.c).astype(np.float32)
+    big = DetectionPipeline(spec, params, thresh=0.05, nms=0.4, k=4096,
+                            device_nms=True)
+    d_big = big(x)[0]
     pipe = DetectionPipeline(spec, params, thresh=0.05, nms=0.4, k=16,
                              device_nms=True)
-    list(pipe.stream([x]))
+    outs = list(pipe.stream([x, x]))
     err = capsys.readouterr().err
     assert "saturated" in err
+    assert getattr(pipe, "_promoted", None) is not None  # later dispatches grown
+    # re-run recursion grows until unsaturated (cap 4096 == big's K), so both
+    # stream batches must converge exactly to the big-buffer result
+    for batch in outs:
+        assert batch[0].n == d_big.n

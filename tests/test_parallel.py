@@ -87,6 +87,41 @@ def test_pipeline_tensor_parallel_matches(tmp_path):
                                    np.sort(b.prob.max(-1)), rtol=1e-4)
 
 
+def test_make_mesh_autosplit_favors_data():
+    """Auto-split contract: data parallelism gets the larger share, the model
+    axis stays modest (<=2) — dp is the throughput-serving default and tp's
+    collectives cost ICI bandwidth (parallel/mesh.py:make_mesh)."""
+    from yolo2_light_tpu.parallel.mesh import make_mesh
+    for n, want in [(8, (4, 1, 2)), (4, (2, 1, 2)), (2, (2, 1, 1)),
+                    (1, (1, 1, 1))]:
+        if n > len(jax.devices()):
+            continue
+        mesh = make_mesh(n)
+        shape = (mesh.shape["data"], mesh.shape.get("space", 1),
+                 mesh.shape["model"])
+        assert shape == want, (n, shape)
+        assert shape[0] >= shape[2]  # data >= model always
+
+
+def test_stream_k_autogrow():
+    """stream() saturation handling matches __call__: the saturated batch
+    re-runs at Kx4 (recursing until unsaturated) and later dispatches use the
+    grown pipeline — no silent detection drops (round-3 review item)."""
+    from yolo2_light_tpu.pipeline import DetectionPipeline
+    spec = parse_network_cfg(os.path.join(DATA, "mini-yolo3.cfg"), batch=1)
+    params = fuse_conv_batchnorm(spec, random_params(spec, seed=1))
+    x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    big = DetectionPipeline(spec, params, thresh=0.24, nms=0.4, k=4096)
+    d_big = big(x)[0]
+    small = DetectionPipeline(spec, params, thresh=0.24, nms=0.4, k=16)
+    outs = list(small.stream([x, x, x]))
+    assert getattr(small, "_promoted", None) is not None
+    for batch in outs:
+        assert batch[0].n == d_big.n
+        np.testing.assert_allclose(np.sort(batch[0].prob.max(-1)),
+                                   np.sort(d_big.prob.max(-1)), rtol=1e-5)
+
+
 def test_pipeline_k_autogrow():
     from yolo2_light_tpu.pipeline import DetectionPipeline
     spec = parse_network_cfg(os.path.join(DATA, "mini-yolo3.cfg"), batch=1)

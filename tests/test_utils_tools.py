@@ -17,6 +17,46 @@ def test_draw_distribution(tmp_path):
     assert mult == get_multiplier(arr, 8)
 
 
+def test_draw_distribution_geometry(tmp_path):
+    """Pin the drawn geometry to the reference formulas
+    (src/yolov2_forward_network_quantized.c:96-169): bar j spans
+    x in [j*W/32, (j+1)*W/32], height H*log2(count[j])//max over log2 counts
+    from the bottom; the red multiplier marker sits at column
+    int(log2(1/(mult*start)))*W/32 spanning the full height."""
+    from PIL import Image
+
+    from yolo2_light_tpu.quant import get_distribution, get_multiplier
+    from yolo2_light_tpu.utils.distribution import draw_distribution
+    rng = np.random.RandomState(1)
+    arr = rng.randn(4096).astype(np.float32) * 0.1
+    out = str(tmp_path / "dist.png")
+    mult = draw_distribution(arr, out_path=out)
+    px = np.asarray(Image.open(out).convert("RGB"))
+    img_h, img_w = px.shape[:2]
+    assert (img_w, img_h) == (1200, 800)
+
+    count = get_distribution(arr, 32, 1.0 / 65536)
+    bars = np.log2(np.maximum(count, 1)).astype(int)
+    max_count = int(bars.max())
+    marker_x = int(np.log2(1.0 / (mult * (1.0 / 65536)))) * img_w // 32
+
+    # marker: full-height red column at the computed x
+    col = px[:, marker_x]
+    assert (col == (255, 32, 32)).all(axis=-1).mean() > 0.9
+    for j in range(32):
+        x_mid = (j * img_w // 32 + (j + 1) * img_w // 32) // 2
+        if abs(x_mid - marker_x) <= 1:
+            continue
+        y_top = img_h - img_h * int(bars[j]) // max_count
+        if bars[j] > 0:
+            # fill color just below the bar top, background just above
+            assert tuple(px[min(img_h - 1, y_top + 2), x_mid]) == (128, 64, 32), j
+        if y_top > 60:  # above the bar (below the title band) is background
+            probe = px[max(0, y_top - 10), x_mid]
+            assert tuple(probe) != (128, 64, 32), j
+    assert mult == get_multiplier(arr, 8)
+
+
 def test_voc_label_converter(tmp_path):
     from yolo2_light_tpu.utils.voc_label import main
     root = tmp_path / "VOCdevkit"

@@ -200,6 +200,13 @@ def _main(argv=None) -> int:
     pipeline_parallel = _find_value(args, "-pp", 0, int)
     pp_tensor_parallel = _find_value(args, "-pp_tp", 1, int)
     profile_dir = _find_value(args, "-profile", None)
+    if pp_tensor_parallel > 1 and pipeline_parallel <= 1:
+        # -pp_tp is only consumed inside pipeline stages; silently ignoring it
+        # would give a user who asked for tensor sharding a single-device run
+        print("error: -pp_tp requires -pp S with S > 1 (tensor parallelism "
+              "inside pipeline stages); for a global tensor axis use -tp",
+              file=sys.stderr)
+        return 1
 
     if len(args) < 2:
         print("usage: yolo2-light-tpu detector [test/map/calibrate/demo] "

@@ -40,12 +40,9 @@ def make_mesh(n_devices: int | None = None, data: int | None = None,
     devs = jax.devices()
     n = n_devices or len(devs)
     if data is None and model is None and space is None:
-        # favor data parallelism; model axis takes what divides evenly
-        model = 1
-        for cand in (4, 2, 1):
-            if n % cand == 0 and cand <= n:
-                model = cand
-                break
+        # favor data parallelism: the model axis stays modest (at most 2) and
+        # only when the device count leaves data with the larger share
+        model = 2 if n % 2 == 0 and n >= 4 else 1
         data = n // model
         space = 1
     else:

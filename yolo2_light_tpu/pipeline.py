@@ -66,10 +66,12 @@ class DetectionPipeline:
                  xnor_impl: str = "int8", mesh=None, device_nms: bool = False,
                  turbo: bool = False, int8_impl: str = "xla",
                  pp_stages: int = 0, pp_microbatch: int = 1, pp_tp: int = 1):
+        import threading
         self.spec = spec
         self.thresh = thresh
         self.nms = nms
         self.k = k
+        self._grow_lock = threading.Lock()
         self.letter = letter
         self.device_nms = bool(device_nms and nms)
         self._mode = mode
@@ -239,23 +241,35 @@ class DetectionPipeline:
             if (sw, sh) != (pipe.spec.net.w, pipe.spec.net.h):
                 im_sizes = [(sw, sh)] * shp[0]
         packed = np.asarray(raw_dev).astype(np.float32)  # one D2H transfer
-        rows = pipe.k + 1 if pipe.device_nms else pipe.k  # +1: flag row
-        if pipe.device_nms:
-            saturated = bool((packed[:, -1, 0] > 0).any())
-        else:
-            saturated = bool(
-                (packed[:, :, 5:].max(axis=-1) > 0).all(axis=-1).any())
-        if packed.shape[1] == rows and pipe.k < 4096 and saturated:
-            import sys
-            new_k = min(4096, pipe.k * 4)
-            print(f"note: candidate buffer K={pipe.k} saturated; re-running "
-                  f"batch with K={new_k} (future batches use the grown buffer)",
-                  file=sys.stderr)
-            grown = pipe._grown(new_k)
-            # promote: saturating workloads shouldn't pay a double forward per batch
-            pipe._promoted = grown
+        if pipe._saturated(packed) and pipe.k < 4096:
+            grown = pipe._grow_and_promote()
             return grown(images, im_sizes)
         return pipe._finish_batch(packed, im_sizes)
+
+    def _saturated(self, packed: np.ndarray) -> bool:
+        """True when this pipeline's candidate buffer filled for any image of
+        an already-fetched packed batch (detections may have been dropped)."""
+        rows = self.k + 1 if self.device_nms else self.k  # +1: flag row
+        if packed.shape[1] != rows:
+            return False
+        if self.device_nms:
+            return bool((packed[:, -1, 0] > 0).any())
+        return bool((packed[:, :, 5:].max(axis=-1) > 0).all(axis=-1).any())
+
+    def _grow_and_promote(self) -> "DetectionPipeline":
+        """Build (or reuse) the Kx4 pipeline and promote future dispatches to
+        it. Thread-safe: stream() grows from finish-worker threads."""
+        import sys
+        with self._grow_lock:
+            new_k = min(4096, self.k * 4)
+            print(f"note: candidate buffer K={self.k} saturated; re-running "
+                  f"batch with K={new_k} (future batches use the grown buffer)",
+                  file=sys.stderr)
+            grown = self._grown(new_k)
+            # promote: saturating workloads shouldn't pay a double forward
+            # per batch
+            self._promoted = grown
+            return grown
 
     def _finish_batch(self, packed: np.ndarray, im_sizes=None):
         """Per-image host finish over an already-fetched packed batch."""
@@ -304,16 +318,21 @@ class DetectionPipeline:
         src/main.c:490-572; the native C++ NMS releases the GIL during the call).
 
         ``batches``: iterable of [B,H,W,C] arrays. Yields lists of Detections in
-        submission order. Unlike ``__call__``, stream() does NOT auto-grow a
-        saturated candidate buffer (batches are already in flight at the old K);
-        it emits the saturation warning — size ``k`` for the workload up front.
+        submission order. Saturation auto-grows the candidate buffer exactly
+        like ``__call__``: the saturated batch re-runs at Kx4 (one extra
+        forward) and every LATER dispatch uses the grown pipeline; batches
+        already in flight at the old K re-run individually if they also
+        saturated. Size ``k`` up front to avoid the re-run cost.
         """
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        def finish_batch(packed_dev, sizes):
+        def finish_batch(pipe, packed_dev, sizes, xb):
             packed = np.asarray(packed_dev).astype(np.float32)
-            return self._finish_batch(packed, sizes)
+            if pipe._saturated(packed) and pipe.k < 4096:
+                grown = pipe._grow_and_promote()
+                return grown(xb, sizes)
+            return pipe._finish_batch(packed, sizes)
 
         it = iter(batches)
         sizes_it = iter(im_sizes_iter) if im_sizes_iter is not None else None
@@ -328,8 +347,11 @@ class DetectionPipeline:
                         done = True
                         break
                     sizes = (next(sizes_it) if sizes_it is not None else None)
-                    inflight.append(pool.submit(finish_batch, self.raw(xb),
-                                                sizes))
+                    src = self
+                    while getattr(src, "_promoted", None) is not None:
+                        src = src._promoted
+                    inflight.append(pool.submit(finish_batch, src,
+                                                src.raw(xb), sizes, xb))
                 if not inflight:
                     return
                 yield inflight.popleft().result()

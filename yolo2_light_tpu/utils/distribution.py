@@ -23,25 +23,38 @@ def draw_distribution(arr: np.ndarray, name: str | None = None,
     count = get_distribution(arr, number_of_ranges, start_range).astype(np.float64)
     multiplier = get_multiplier(arr, 8)
 
-    # log2 bars like the reference (log2(0) clamps to 0 via int cast of -inf guard)
+    # log2 bars like the reference's count[j] = log2(count[j]) int truncation;
+    # its log2(0) -> -inf int cast yields an off-image (clipped) rectangle, so
+    # empty ranges draw nothing — clamp to a 0-height bar for the same pixels
     with np.errstate(divide="ignore"):
         bars = np.log2(np.maximum(count, 1)).astype(int)
-    max_count = max(1, bars.max())
+    max_count = int(bars.max())
 
     img = Image.new("RGB", (img_w, img_h), (0, 0, 0))
     d = ImageDraw.Draw(img)
-    for j in range(number_of_ranges):
-        x1 = j * img_w // number_of_ranges
-        x2 = (j + 1) * img_w // number_of_ranges
-        y2 = img_h - img_h * int(bars[j]) // max_count
-        d.rectangle([x1, min(img_h, y2), x2, img_h], fill=(128, 64, 32),
-                    outline=(32, 32, 32))
+    if max_count > 0:  # reference skips all bars when every range is empty
+        for j in range(number_of_ranges):
+            x1 = j * img_w // number_of_ranges
+            x2 = (j + 1) * img_w // number_of_ranges
+            y2 = img_h - img_h * int(bars[j]) // max_count
+            d.rectangle([x1, min(img_h, y2), x2, img_h], fill=(128, 64, 32),
+                        outline=(32, 32, 32))
     index_multiplier = int(np.log2(1.0 / (multiplier * start_range)))
     x = index_multiplier * img_w // number_of_ranges
     d.line([(x, 0), (x, img_h)], fill=(255, 32, 32), width=1)
-    label = f"optimal multiplier = {multiplier:g}"
+    # reference text: title at (100,50), name at (0,20), axis labels at
+    # img_h-50, all CV_RGB(32,64,128) (no Hershey font in PIL — glyphs are a
+    # documented approximation; geometry above is the pinned part)
+    d.text((100, 50), f"optimal multiplier = {multiplier:g}",
+           fill=(32, 64, 128))
     if name:
-        label = f"{name}: {label}"
-    d.text((10, 10), label, fill=(255, 255, 255))
+        d.text((0, 20), name, fill=(32, 64, 128))
+    cur = start_range
+    for j in range(number_of_ranges):
+        d.text((j * img_w // number_of_ranges, img_h - 50),
+               str(int(np.log2(cur))), fill=(32, 64, 128))
+        cur *= 2
+    d.text((img_w // 2 - 100, img_h - 10), "X and Y are log2",
+           fill=(32, 64, 128))
     img.save(out_path)
     return multiplier
