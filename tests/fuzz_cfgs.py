@@ -244,12 +244,14 @@ def main(n_nets=20, seed0=0):
         # route/shortcut topology (fp32 pp is bit-identical to single-device
         # at equal microbatch, so the strict stream diff applies unchanged);
         # every 6th net composes pp with tp=2-sharded stages (4 virtual
-        # devices, GSPMD channel sharding inside each stage).
+        # devices, GSPMD channel sharding inside each stage), alternating
+        # fp32 / -quantized (advisor r3: int8 stage params under per-stage
+        # GSPMD were CLI-reachable but never fuzzed).
         variants = [(False, 0, 1)]
         if t % 2 == 0:
             variants.append((True, 0, 1))
         if t % 3 == 0:
-            variants.append((False, 2, 2 if t % 6 == 0 else 1))
+            variants.append((t % 12 == 6, 2, 2 if t % 6 == 0 else 1))
         for quant, pp, tp in variants:
             args = ["detector", "test", names, cfg, wpath, img,
                     "-thresh", "0.3", "-dont_show"] + (

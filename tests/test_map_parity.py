@@ -311,3 +311,30 @@ def test_map_pp_tp_matches_single(dataset, tmp_path):
     assert single["tp"] == composed["tp"]
     assert single["fp"] == composed["fp"]
     assert abs(single["mAP"] - composed["mAP"]) < 1e-6
+
+
+def test_map_quantized_tp_sp_matches_single(dataset, tmp_path):
+    """detector map -quantized -tp 2 -sp 2: int8 weights under the GLOBAL
+    GSPMD mesh (weights_int8 sharded over the model axis, producer-chaining
+    across sharded layers, spatial halo exchange) — metrics must match the
+    meshless quantized run (round-3 review: the global mesh was fp32-only
+    in practice)."""
+    import jax
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 devices")
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec = parse_network_cfg(cfg, batch=1)
+    weights = str(tmp_path / "w.weights")
+    save_weights(spec, random_params(spec, seed=11), weights)
+    from yolo2_light_tpu.apps.map import validate_detector_map
+    single = validate_detector_map(dataset["data"], cfg, weights, thresh=0.24,
+                                   quantized=True, batch=2, k=4096)
+    meshed = validate_detector_map(dataset["data"], cfg, weights, thresh=0.24,
+                                   quantized=True, batch=2, k=4096,
+                                   data_parallel=2, tensor_parallel=2,
+                                   spatial_parallel=2)
+    assert single["unique_truth_count"] == meshed["unique_truth_count"]
+    assert single["tp"] == meshed["tp"]
+    assert single["fp"] == meshed["fp"]
+    assert abs(single["mAP"] - meshed["mAP"]) < 1e-6

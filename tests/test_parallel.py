@@ -87,6 +87,96 @@ def test_pipeline_tensor_parallel_matches(tmp_path):
                                    np.sort(b.prob.max(-1)), rtol=1e-4)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_int8_pipeline_tp_sp_matches_single(tmp_path):
+    """INT8 under the global mesh (dp2 x sp2 x tp2): weights_int8 shards over
+    the model axis (HWIO int8, O%2==0), scalar multipliers replicate,
+    producer-chaining crosses sharded layers; detections must match the
+    meshless int8 pipeline (round-3 review: global mesh was fp32-only)."""
+    from yolo2_light_tpu.pipeline import DetectionPipeline
+    from yolo2_light_tpu.quant import quantize_params
+    cfg = _shrunk_cfg("/root/reference/bin/yolov3-tiny.cfg", tmp_path)
+    spec = parse_network_cfg(cfg, batch=2, quantized=True)
+    params = quantize_params(
+        spec, fuse_conv_batchnorm(spec, random_params(spec, seed=4)))
+    x = (np.random.RandomState(2).rand(2, 128, 128, 3) * 255).astype(np.uint8)
+    plain = DetectionPipeline(spec, params, "int8", thresh=0.24, nms=0.4,
+                              k=512)
+    mesh = make_mesh(8, data=2, model=2, space=2)
+    meshed = DetectionPipeline(spec, params, "int8", thresh=0.24, nms=0.4,
+                               k=512, mesh=mesh)
+    d0, d1 = plain(x), meshed(x)
+    for a, b in zip(d0, d1):
+        assert a.n == b.n
+        np.testing.assert_allclose(np.sort(a.prob.max(-1)),
+                                   np.sort(b.prob.max(-1)), rtol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_xnor_pipeline_tp_matches_single():
+    """XNOR under the global mesh (dp2 x tp4, xnor_impl='int8' +-1 MXU
+    engine): binary conv layers shard/replicate under GSPMD and detections
+    match the meshless pipeline."""
+    from yolo2_light_tpu.pipeline import DetectionPipeline
+    from yolo2_light_tpu.xnor import binarize_params
+    cfg = os.path.join(DATA, "mini-xnor.cfg")
+    spec = parse_network_cfg(cfg, batch=2)
+    params = binarize_params(
+        spec, fuse_conv_batchnorm(spec, random_params(spec, seed=9)))
+    x = (np.random.RandomState(2).rand(2, 64, 64, 3) * 255).astype(np.uint8)
+    plain = DetectionPipeline(spec, params, thresh=0.3, nms=0.4, k=2048)
+    mesh = make_mesh(8, data=2, model=4)
+    meshed = DetectionPipeline(spec, params, thresh=0.3, nms=0.4, k=2048,
+                               mesh=mesh)
+    d0, d1 = plain(x), meshed(x)
+    for a, b in zip(d0, d1):
+        assert a.n == b.n
+        np.testing.assert_allclose(np.sort(a.prob.max(-1)),
+                                   np.sort(b.prob.max(-1)), rtol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_int8_pipeline_pp_tp_matches_single(tmp_path):
+    """-quantized -pp 2 -pp_tp 2: int8 stage params under per-stage GSPMD
+    meshes (advisor round 3: this CLI-reachable combination was untested)."""
+    from yolo2_light_tpu.pipeline import DetectionPipeline
+    from yolo2_light_tpu.quant import quantize_params
+    cfg = _shrunk_cfg("/root/reference/bin/yolov3-tiny.cfg", tmp_path)
+    spec = parse_network_cfg(cfg, batch=2, quantized=True)
+    params = quantize_params(
+        spec, fuse_conv_batchnorm(spec, random_params(spec, seed=4)))
+    x = (np.random.RandomState(2).rand(2, 128, 128, 3) * 255).astype(np.uint8)
+    plain = DetectionPipeline(spec, params, "int8", thresh=0.24, nms=0.4,
+                              k=512)
+    pp = DetectionPipeline(spec, params, "int8", thresh=0.24, nms=0.4, k=512,
+                           pp_stages=2, pp_tp=2, pp_microbatch=1)
+    d0, d1 = plain(x), pp(x)
+    for a, b in zip(d0, d1):
+        assert a.n == b.n
+        np.testing.assert_allclose(np.sort(a.prob.max(-1)),
+                                   np.sort(b.prob.max(-1)), rtol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_xnor_pipeline_pp_tp_matches_single():
+    """xnor cfg under -pp 2 -pp_tp 2 (binary params under per-stage GSPMD)."""
+    from yolo2_light_tpu.pipeline import DetectionPipeline
+    from yolo2_light_tpu.xnor import binarize_params
+    cfg = os.path.join(DATA, "mini-xnor.cfg")
+    spec = parse_network_cfg(cfg, batch=2)
+    params = binarize_params(
+        spec, fuse_conv_batchnorm(spec, random_params(spec, seed=9)))
+    x = (np.random.RandomState(2).rand(2, 64, 64, 3) * 255).astype(np.uint8)
+    plain = DetectionPipeline(spec, params, thresh=0.3, nms=0.4, k=2048)
+    pp = DetectionPipeline(spec, params, thresh=0.3, nms=0.4, k=2048,
+                           pp_stages=2, pp_tp=2, pp_microbatch=1)
+    d0, d1 = plain(x), pp(x)
+    for a, b in zip(d0, d1):
+        assert a.n == b.n
+        np.testing.assert_allclose(np.sort(a.prob.max(-1)),
+                                   np.sort(b.prob.max(-1)), rtol=1e-4)
+
+
 def test_make_mesh_autosplit_favors_data():
     """Auto-split contract: data parallelism gets the larger share, the model
     axis stays modest (<=2) — dp is the throughput-serving default and tp's

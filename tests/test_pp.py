@@ -56,6 +56,59 @@ def test_carried_set_is_exactly_cross_boundary_liveness():
             assert any(c >= stop for c in cons[j])
 
 
+def test_replicated_pipeline_matches_single():
+    """dp x pp: 2 data-parallel replicas of a 2-stage pipeline (4 devices)
+    must be BIT-identical to one PipelinedPredictor at the same microbatch —
+    the replica split adds no numerics (VERDICT r3 item 4: dp x pp is the
+    realistic serving shape)."""
+    _need_devices(4)
+    from yolo2_light_tpu.parallel.pp import (PipelinedPredictor,
+                                             ReplicatedPipeline)
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec, params, _ = _setup(cfg)
+    x = np.random.RandomState(0).rand(
+        4, spec.net.h, spec.net.w, spec.net.c).astype(np.float32)
+    single = PipelinedPredictor(spec, params, "fp32", n_stages=2,
+                                microbatch=1)
+    rep = ReplicatedPipeline(spec, params, "fp32", replicas=2, n_stages=2,
+                             microbatch=1)
+    h0, _ = single(x)
+    h1, _ = rep(x)
+    assert len(h0) == len(h1)
+    for a, b in zip(h0, h1):
+        assert (a.index, a.kind) == (b.index, b.kind)
+        np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))
+    # replica params really live on disjoint device sets
+    import jax
+    devs0 = {d for p in rep.replicas[0].stage_params for v in p
+             if v is not None for d in list(v.values())[0].devices()}
+    devs1 = {d for p in rep.replicas[1].stage_params for v in p
+             if v is not None for d in list(v.values())[0].devices()}
+    assert devs0 and devs1 and not (devs0 & devs1)
+
+
+def test_replicated_pipeline_three_axis_dp_pp_tp():
+    """dp2 x pp2 x tp2 (8 devices): three parallelism axes composed — each
+    replica is a 2-stage pipeline whose stages are 2-device GSPMD meshes."""
+    _need_devices(8)
+    from yolo2_light_tpu.parallel.pp import (PipelinedPredictor,
+                                             ReplicatedPipeline)
+    cfg = os.path.join(DATA, "mini-yolo3.cfg")
+    spec, params, _ = _setup(cfg)
+    x = np.random.RandomState(1).rand(
+        4, spec.net.h, spec.net.w, spec.net.c).astype(np.float32)
+    # reference: pp x tp at the same microbatch (tp adds the known sub-ULP
+    # SPMD retiling class, so compare against the SAME tp width)
+    single = PipelinedPredictor(spec, params, "fp32", n_stages=2,
+                                microbatch=1, tp=2)
+    rep = ReplicatedPipeline(spec, params, "fp32", replicas=2, n_stages=2,
+                             microbatch=1, tp=2)
+    h0, _ = single(x)
+    h1, _ = rep(x)
+    for a, b in zip(h0, h1):
+        np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))
+
+
 @pytest.mark.parametrize("stages,mb", [(2, 2), (4, 1), (3, 2)])
 def test_pp_bit_exact_vs_single_device(stages, mb):
     _need_devices(stages)

@@ -180,6 +180,54 @@ def test_sp_weights_replicated_3x3_sharded_1x1(tmp_path):
 
 
 @needs8
+def test_int8_tp4_conv_compute_is_sharded(tmp_path):
+    """INT8 convs must shard exactly like fp32 ones (round-3 review: the
+    global mesh was fp32-only in practice): the per-device SPMD module holds
+    s32-accumulating convolutions at out_c/tp channels, and the resident
+    weights_int8 arrays shard O/tp — not silently replicate."""
+    from yolo2_light_tpu.quant import quantize_params
+    cfg = _tiny128(tmp_path)
+    spec = parse_network_cfg(cfg, batch=2, quantized=True)
+    params = quantize_params(
+        spec, fuse_conv_batchnorm(spec, random_params(spec, seed=2)))
+    mesh = make_mesh(8, data=2, model=4)
+    fn, sharded = make_sharded_predict(spec, params, mesh, mode="int8")
+    x = np.zeros((2, spec.net.h, spec.net.w, 3), np.float32)
+    text = fn.lower(sharded, x).compile().as_text()
+
+    # int8 conv outputs accumulate in s32; collect their per-device shapes
+    s32_convs = set()
+    for m in re.finditer(r"= s32\[(\d+),(\d+),(\d+),(\d+)\]\S* convolution\(",
+                         text):
+        s32_convs.add(tuple(int(g) for g in m.groups()))
+    s32_dots = set(tuple(int(g) for g in m.groups()) for m in
+                   re.finditer(r"= s32\[(\d+),(\d+)\]\S* dot\(", text))
+    missing = []
+    for l in spec.layers:
+        if not isinstance(l, ConvSpec) or l.n % 4 != 0:
+            continue
+        if not l.quantized:
+            continue  # fp32-dispatched (layer 0 / LINEAR / head convs)
+        p = sharded[l.index]
+        if "weights_int8" not in p:
+            continue
+        want = (1, l.out_h, l.out_w, l.n // 4)
+        want_dot = (l.out_h * l.out_w, l.n // 4)
+        if want not in s32_convs and want_dot not in s32_dots:
+            missing.append((l.index, want))
+        # resident int8 bytes shard O/tp
+        v = p["weights_int8"]
+        assert v.dtype == np.int8
+        per_dev = v.addressable_shards[0].data.nbytes
+        assert per_dev * 4 == v.nbytes, (l.index, per_dev, v.nbytes)
+    assert not missing, (
+        f"int8 convs missing sharded s32 shapes {missing}; "
+        f"s32 convs={sorted(s32_convs)}, s32 dots={sorted(s32_dots)}")
+    # no int8 conv computes at the full batch (dp ignored)
+    assert not any(s[0] == 2 for s in s32_convs), s32_convs
+
+
+@needs8
 def test_pp_tp_stage_program_is_sharded(tmp_path):
     """pp x tp composition: the compiled STAGE program must itself be SPMD-
     sharded — per-device conv outputs carry out_c/tp channels and per-device
