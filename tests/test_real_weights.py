@@ -63,18 +63,23 @@ def test_dog_detections_real_weights():
 
 @needs_coco
 @pytest.mark.slow
-@pytest.mark.parametrize("quantized,policy,floor", [
-    (False, "cpu", 0.53),   # FP32 baseline (~55% on COCO val5k)
-    (True, "gpu", 0.51),    # reference records 53.60% (head convs FP32)
-    (True, "cpu", 0.43),    # reference records 45.61% (fully quantized)
+@pytest.mark.parametrize("quantized,policy,turbo,floor", [
+    (False, "cpu", False, 0.53),  # FP32 baseline (~55% on COCO val5k)
+    (True, "gpu", False, 0.51),   # reference records 53.60% (head convs FP32)
+    (True, "cpu", False, 0.43),   # reference records 45.61% (fully quantized)
+    # -turbo (bf16-materialized activations, f32 math): expected ~= the int8
+    # regime it wraps — per-tensor <=1 bf16 ulp; even on the chaos-amplifying
+    # random-weight harness its metric delta is smaller than the int8<->fp32
+    # mode difference (tests/test_turbo_metric.py, PERF_NOTES.md)
+    (True, "cpu", True, 0.43),
 ])
-def test_map_regimes_real_weights(quantized, policy, floor):
+def test_map_regimes_real_weights(quantized, policy, turbo, floor):
     from yolo2_light_tpu.apps.map import validate_detector_map
 
     cfg = os.path.join(REF_BIN, "yolov3.cfg")
     res = validate_detector_map(COCO_DATA, cfg, WEIGHTS, thresh=0.005,
                                 quantized=quantized, int8_policy=policy,
-                                iou_thresh=0.5)
+                                turbo=turbo, iou_thresh=0.5)
     assert res["mAP"] >= floor, (
         f"mAP {res['mAP']:.4f} below the recorded reference regime "
         f"(src/additionally.c:3995-4002)")
