@@ -9,7 +9,9 @@ Usage mirrors the reference binary:
     yolo2-light-tpu detector demo  <names> <cfg> [weights] [video] [flags]
 
 Flags: -thresh F (default .25 like the reference; the shipped scripts pass .24),
--iou_thresh F, -quantized, -bf16, -dont_show, -letterbox, -out_filename S,
+-iou_thresh F, -quantized, -bf16, -fp32 (demo: full-fp32 convs + float ingest —
+the reference-exact video path; demo otherwise defaults to bf16 for speed),
+-dont_show, -letterbox, -out_filename S,
 -save PATH, -c CAM_INDEX, -s FRAME_SKIP (demo), -int8_policy cpu|gpu|cpu_old,
 -device_nms (map/demo: greedy NMS on device, fused into the XLA program),
 -k N (map/demo: candidate-buffer size; raise on saturation warnings),
@@ -155,6 +157,9 @@ def _main(argv=None) -> int:
 
     dont_show = _find_flag(args, "-dont_show")
     bf16 = _find_flag(args, "-bf16")
+    fp32 = _find_flag(args, "-fp32")  # demo: full fp32 + float ingest (the
+    #                                   reference-exact video path; demo
+    #                                   otherwise defaults to bf16 for speed)
     turbo = _find_flag(args, "-turbo")
     quantized = _find_flag(args, "-quantized")
     letterbox = _find_flag(args, "-letterbox")
@@ -226,6 +231,9 @@ def _main(argv=None) -> int:
     if bf16:
         import jax.numpy as jnp
         compute_dtype = jnp.bfloat16
+    elif fp32:
+        import jax.numpy as jnp
+        compute_dtype = jnp.float32
     if sub == "test":
         from ..datacfg import load_names
         from .detect import run

@@ -89,10 +89,16 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
     import cv2
     import jax.numpy as jnp
 
+    print("Demo", flush=True)  # main.c:456
     spec, params, mode = build_params(cfgfile, weightfile, quantized=quantized,
                                       params_cache=params_cache,
                                       quant_banner=True)  # main.c:467
     nms = 0.2 if quantized else 0.4
+    # the reference's quantized forward printf's a per-conv line EVERY frame
+    # (network_predict_quantized from inside the detect thread); static per
+    # net, so synthesise once and print per frame with the object lines
+    from .detect import forward_echo
+    conv_echo = forward_echo(spec) if quantized else ""
     cd = compute_dtype if compute_dtype is not None else jnp.bfloat16
     pipe = DetectionPipeline(spec, params, mode, thresh=thresh, nms=nms,
                              int8_policy=int8_policy, k=k,
@@ -104,10 +110,18 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
     if batch <= 0:
         batch = 4 if filename else 1
 
-    cap = cv2.VideoCapture(filename if filename else cam_index)
+    if filename:
+        print(f"video file: {filename}", flush=True)  # main.c:468-470
+        # CVSTUBV1 raw-BGR streams (sniffed by magic) bypass cv2's codecs:
+        # deterministic bytes for parity tests and decode-free benchmark ingest
+        from ..io.rawvideo import RawVideoCapture, is_rawvideo
+        cap = (RawVideoCapture(filename) if is_rawvideo(filename)
+               else cv2.VideoCapture(filename))
+    else:
+        cap = cv2.VideoCapture(cam_index)
     if not cap.isOpened():
-        print(f"Couldn't open {'file ' + filename if filename else 'camera'}",
-              file=sys.stderr)
+        # reference: error("Couldn't connect to webcam.\n"), main.c:476
+        print("Couldn't connect to webcam.", file=sys.stderr)
         return 0
 
     writer = None
@@ -170,8 +184,8 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
     stop_all = False
     last_bgr = None  # the reference's disp/show_img analog: the most recently
     #                  drawn frame, re-saved on gated iterations
-    last_objects = ""  # object lines of the most recently drawn frame
     try:
+        import io as _io
         import itertools
         # tee keeps batches and sizes in lockstep no matter how stream()
         # interleaves its pulls from the two iterators
@@ -182,6 +196,13 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
             rgbs = rgb_batches.pop(0)
             for rgb, dets in zip(rgbs, dets_list):
                 count += 1
+                # EVERY detected frame prints its object lines (the reference
+                # echoes from inside the per-frame detect thread, main.c:294,
+                # regardless of the display delay gate)
+                buf = _io.StringIO()
+                im_io.echo_detections_cv(dets, names, thresh, classes,
+                                         rgb.shape[1], rgb.shape[0], buf)
+                objects = buf.getvalue()
                 # reference delay gate (src/main.c:553-557): the drawn frame
                 # only ADVANCES when delay hits 0; gated iterations reuse it.
                 # The first frame primes it regardless (the reference detects
@@ -200,15 +221,8 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
                     # skipped (delay-gated) frames never pay the f32 pass, and
                     # the final PNG/BGR quantizes back to uint8 anyway
                     rgbf = rgb.astype(np.float32) / 255.0
-                    # object lines print under the FPS block's "Objects:"
-                    # header (the reference printf's them from inside the
-                    # draw, main.c:294; its screen-clear + header land first
-                    # because they were printed the iteration before)
-                    import io as _io
-                    buf = _io.StringIO()
                     im_io.draw_detections_cv(rgbf, dets, names, thresh,
-                                             classes, echo=buf)
-                    last_objects = buf.getvalue()
+                                             classes)
                     last_bgr = cv2.cvtColor(
                         (np.clip(rgbf, 0, 1) * 255).astype(np.uint8),
                         cv2.COLOR_RGB2BGR)
@@ -229,6 +243,15 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
                     # the reference polls the key every iteration (main.c:535)
                     if cv2.waitKey(1) == 27:
                         stop_all = True
+                # screen-clear + FPS + "Objects:" header, once per frame like
+                # the reference (main.c:431-435, byte-exact block). The
+                # reference prints the object lines BEFORE its header (they
+                # land under the PREVIOUS frame's header on screen); we print
+                # header-then-objects — the same terminal rendering, raw
+                # streams differing by exactly one block rotation
+                # (tests/test_demo_parity.py pins both)
+                print(f"\033[2J\033[1;1H\nFPS:{fps:.1f}\nObjects:\n\n"
+                      f"{conv_echo}{objects}", flush=True, end="")
                 delay -= 1
                 if delay < 0:
                     delay = frame_skip
@@ -238,10 +261,6 @@ def demo(cfgfile: str, weightfile, thresh: float, filename, names, *,
                     # (main.c:563-570)
                     fps = 1.0 / max(after - before, 1e-6)
                     before = after
-                    # reference printf -> STDOUT (main.c:563-570; object
-                    # lines main.c:294)
-                    print(f"\033[2J\033[1;1H\nFPS:{fps:.1f}\nObjects:\n\n"
-                          f"{last_objects}", flush=True)
                 if max_frames is not None and count >= max_frames:
                     stop_all = True
                 if stop_all:

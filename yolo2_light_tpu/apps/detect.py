@@ -117,6 +117,23 @@ def build_predictor(cfgfile: str, weightfile, quantized: bool = False,
     return spec, pred
 
 
+def forward_echo(spec) -> str:
+    """The quantized forward's per-layer stdout block, one line per conv
+    (reference: every quantized forward printf's '%d - CONVOLUTIONAL ...
+    l.size' per conv and ' layer: 4 ' for standalone softmax,
+    yolov2_forward_network_quantized.c:1039,1070). Synthesised from the spec
+    at print time — the demo prints it per FRAME (one reference forward per
+    frame) even though frames run batched on device."""
+    from ..cfg import ConvSpec, SoftmaxSpec
+    parts = []
+    for l in spec.layers:
+        if isinstance(l, ConvSpec):
+            parts.append(f"\n {l.index} - CONVOLUTIONAL \t\t l.size = {l.size}  \n")
+        elif isinstance(l, SoftmaxSpec):
+            parts.append("\n layer: 4 \n")
+    return "".join(parts)
+
+
 def detect_image(pred, spec, filename: str, thresh: float, nms: float,
                  names, letter: bool = False, echo_layers: bool = False):
     """Run one image through the predictor; returns (dets, image, elapsed).
@@ -135,12 +152,7 @@ def detect_image(pred, spec, filename: str, thresh: float, nms: float,
     head_outputs = [np.asarray(h.data[0]) for h in heads]
     elapsed = time.time() - t0
     if echo_layers:
-        from ..cfg import ConvSpec, SoftmaxSpec
-        for l in spec.layers:
-            if isinstance(l, ConvSpec):
-                print(f"\n {l.index} - CONVOLUTIONAL \t\t l.size = {l.size}  ")
-            elif isinstance(l, SoftmaxSpec):
-                print("\n layer: 4 ")
+        print(forward_echo(spec), end="")
     head_specs = pred.head_specs()
     dets = post.get_network_boxes(head_outputs, head_specs,
                                   im.shape[1], im.shape[0],

@@ -144,6 +144,34 @@ def draw_box_width(im: np.ndarray, left: int, top: int, right: int, bot: int,
         im[t:bb + 1, rr] = (r, g, b)
 
 
+def echo_detections_cv(dets, names, thresh: float, classes: int,
+                       w: int, h: int, echo) -> None:
+    """Print the demo's per-frame object lines exactly as the reference's
+    draw_detections_cv_v3 printf's them from inside the draw (src/main.c:294,
+    343-345): per detection, every class above thresh as ``name: P% `` on one
+    line, then (when any class fired) the ext_output tab line with the
+    CLAMPED-int corners and raw scaled w/h. Factored out of the draw so the
+    demo can echo EVERY detected frame (the reference detects and prints every
+    frame; only the DISPLAYED frame is delay-gated, main.c:553-557) without
+    paying the pixel pass for frames it never shows."""
+    for i in range(dets.n):
+        class_id = -1
+        for j in range(classes):
+            if dets.prob[i, j] > thresh:
+                if class_id < 0:
+                    class_id = j
+                print(f"{names[j]}: {dets.prob[i, j] * 100:.0f}% ",
+                      end="", file=echo, flush=False)
+        if class_id < 0:
+            continue
+        x, y, bw, bh = dets.bbox[i]
+        left = max(int((x - bw / 2) * w), 0)
+        top = max(int((y - bh / 2) * h), 0)
+        print(f"\t(left_x: {float(left):4.0f}   top_y: {float(top):4.0f}"
+              f"   width: {bw * w:4.0f}   height: {bh * h:4.0f})",
+              file=echo)
+
+
 def draw_detections_cv(im: np.ndarray, dets, names, thresh: float,
                        classes: int, echo=None) -> None:
     """Video-frame drawing with class-name label text per box, in place
@@ -162,6 +190,10 @@ def draw_detections_cv(im: np.ndarray, dets, names, thresh: float,
     from PIL import Image, ImageDraw
 
     h, w = im.shape[:2]
+    if echo is not None:
+        # drawing prints nothing, so echoing all object lines up front is
+        # byte-identical to the reference's interleaved printf's
+        echo_detections_cv(dets, names, thresh, classes, w, h, echo)
     width = max(1, int(h * 0.006))  # reference truncates; floor 1 keeps boxes
     font_size = h / 1000.0          # visible on frames under ~170px tall
     overlays = []
@@ -173,11 +205,6 @@ def draw_detections_cv(im: np.ndarray, dets, names, thresh: float,
                 if class_id < 0:
                     class_id = j
                 parts.append(names[j])
-                if echo is not None:
-                    # reference: printf("%s: %.0f%% ", ...) — one line, trailing
-                    # spaces, refreshed by the FPS block's screen clear
-                    print(f"{names[j]}: {dets.prob[i, j] * 100:.0f}% ",
-                          end="", file=echo, flush=False)
         if class_id < 0:
             continue
         offset = class_id * 123457 % classes
@@ -188,12 +215,6 @@ def draw_detections_cv(im: np.ndarray, dets, names, thresh: float,
         right = min(int((x + bw / 2) * w), w - 1)
         top = max(int((y - bh / 2) * h), 0)
         bot = min(int((y + bh / 2) * h), h - 1)
-        if echo is not None:
-            # reference ext_output (always on): clamped-int corners, raw w/h
-            # (main.c:343-345)
-            print(f"\t(left_x: {float(left):4.0f}   top_y: {float(top):4.0f}"
-                  f"   width: {bw * w:4.0f}   height: {bh * h:4.0f})",
-                  file=echo)
         draw_box_width(im, left, top, right, bot, width, *rgb)
         bg_top = max(0, int(top - (10 + 25 * font_size)))
         im[bg_top:top + 1, left:right + 1] = rgb  # filled label background
