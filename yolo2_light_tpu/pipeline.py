@@ -179,6 +179,8 @@ class DetectionPipeline:
             heads, _ = fwd(p, ingest(x))
             return post([h.data for h in heads])
 
+        self._run = run  # uncompiled body, reused by serve_scan's in-jit loop
+        self._serve_jit = None
         self._pp_ingest = jax.jit(ingest)
         self._pp_post = jax.jit(post)
 
@@ -279,6 +281,62 @@ class DetectionPipeline:
             w, h = im_sizes[i] if im_sizes is not None else (netw, neth)
             out.append(self._finish(packed[i], w, h))
         return out
+
+    def serve_scan(self, frames, im_sizes=None):
+        """In-jit multi-frame serving loop: ONE dispatch runs a resident ring
+        of N frames SEQUENTIALLY at b=1 semantics (``lax.scan`` over the
+        leading axis) and returns every frame's detections from ONE packed
+        D2H fetch.
+
+        This is the single-chip analog of the reference's persistent pinned
+        staging (src/yolov2_forward_network_gpu.cu:547-572): instead of paying
+        the per-dispatch overhead (relay round trip + program launch) once per
+        frame, the whole ring pays it once. Each scan iteration is the exact
+        b=1 program — no cross-frame batching, so results are bit-identical
+        to frame-at-a-time calls (tests/test_serve_scan.py); what remains per
+        frame is the chip-side fixed cost of the 107-layer graph itself
+        (bench_latency.py measures both components; PERF_NOTES 'Single-image
+        latency').
+
+        ``frames``: [N, H, W, C] f32/uint8 (or planar YUV420 [N, H*3/2, W]) —
+        any source size (device auto-resize applies per frame). Returns
+        list[Detections], saturation auto-grow included.
+
+        The ring is NOT donated: the only output is the packed detection
+        buffer, whose shape/dtype can never alias the ring, so donation would
+        be an XLA no-op that just warns; scan consumes the ring read-only.
+        """
+        if self._pp is not None or self._mesh is not None:
+            raise ValueError("serve_scan is the single-device serving loop; "
+                             "compose pp/mesh with batch dispatch instead")
+        promoted = getattr(self, "_promoted", None)
+        if promoted is not None:
+            return promoted.serve_scan(frames, im_sizes)
+        if self._serve_jit is None:
+            run = self._run
+
+            def serve(p, ring):
+                def body(carry, frame):
+                    return carry, run(p, frame[None])[0]
+                _, packed = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                         ring)
+                return packed
+
+            self._serve_jit = jax.jit(serve)
+        raw = self._serve_jit(self.params, jnp.asarray(frames))
+        if im_sizes is None:
+            shp = np.shape(frames)
+            if len(shp) == 3:                       # planar YUV420 [N,H*3/2,W]
+                sw, sh = shp[2], shp[1] * 2 // 3
+            else:
+                sw, sh = shp[2], shp[1]
+            if (sw, sh) != (self.spec.net.w, self.spec.net.h):
+                im_sizes = [(sw, sh)] * shp[0]
+        packed = np.asarray(raw).astype(np.float32)  # one D2H transfer
+        if self._saturated(packed) and self.k < 4096:
+            grown = self._grow_and_promote()
+            return grown.serve_scan(frames, im_sizes)
+        return self._finish_batch(packed, im_sizes)
 
     def __call__(self, images, im_sizes=None):
         """Full pipeline for a batch. ``im_sizes``: list of (w,h) original image sizes
