@@ -6,6 +6,7 @@ throughput and validates correctness on the current backend. Run on the TPU:
     python bench_xnor.py [c] [m] [hw]
 """
 
+import os
 import sys
 import time
 
@@ -14,6 +15,14 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent XLA cache: Pallas shapes go through the remote-compile relay
+    # (minutes cold); cache them like bench.py does
+    cache = os.path.expanduser("~/.cache/yolo2_light_tpu/xla")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from yolo2_light_tpu.models import layers as L
@@ -22,6 +31,11 @@ def main():
     c = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     m = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     hw = int(sys.argv[3]) if len(sys.argv) > 3 else 52
+    # optional 4th arg: comma list of MXU-engine tile specs "tn" or "tn:tm"
+    # (0 = the VMEM-aware auto default, _auto_tiles)
+    tns = ([tuple(int(v) for v in (t + ":0").split(":")[:2])
+            for t in sys.argv[4].split(",")]
+           if len(sys.argv) > 4 else [(0, 0)])
 
     rng = np.random.RandomState(0)
     x = rng.randn(1, hw, hw, c).astype(np.float32)
@@ -45,9 +59,10 @@ def main():
     f_pal = loop(lambda x: conv2d_xnor_pallas(
         x, jnp.asarray(packed), jnp.asarray(mean), jnp.asarray(bias),
         size=3, stride=1, pad=1, c_real=c, k_real=k_real))
-    f_pmx = loop(lambda x: conv2d_xnor_pallas(
+    f_pmx = {t: loop(lambda x, t=t: conv2d_xnor_pallas(
         x, jnp.asarray(packed), jnp.asarray(mean), jnp.asarray(bias),
-        size=3, stride=1, pad=1, c_real=c, k_real=k_real, engine="mxu"))
+        size=3, stride=1, pad=1, c_real=c, k_real=k_real, engine="mxu",
+        tn=t[0] or None, tm=t[1] or None)) for t in tns}
     xj = jnp.asarray(x)
 
     a = np.asarray(jax.jit(lambda x: L.conv2d_xnor(
@@ -64,8 +79,9 @@ def main():
     print(f"bit-identical (pallas_mxu): {np.array_equal(a, bm)} (maxdiff "
           f"{np.abs(a - bm).max():g})")
 
-    for name, f in [("mxu_int8", f_int8), ("pallas_popcount", f_pal),
-                    ("pallas_mxu", f_pmx)]:
+    for name, f in ([("mxu_int8", f_int8), ("pallas_popcount", f_pal)]
+                    + [(f"pallas_mxu tn={t[0] or 'auto'} tm={t[1] or 'auto'}",
+                        f_pmx[t]) for t in tns]):
         for _ in range(2):
             _ = float(f(xj))
         t0 = time.perf_counter()

@@ -194,7 +194,17 @@ def xnor_gemm(packed_w, mean, bias, patches, k_real: int, *,
     return out[:n, :m_real]
 
 
-def _xnor_mxu_kernel(a_ref, b_ref, mean_ref, bias_ref, out_ref, *,
+def _unpack_pm1(v):
+    """int32 bit lanes [R, F] -> +-1 int8 [R, F*32] (bit-major concat).
+    Per-plane arithmetic stays int32 (Mosaic has no vector int8 mul); each
+    plane is cast to int8 BEFORE the concat so the stack intermediate is
+    R*F*32 bytes, not 4x that — the int32-concat variant OOMs scoped VMEM
+    at whole-N tiles (measured: 25.7M > 16M limit on the 52x52 probe)."""
+    planes = [(2 * ((v >> k) & 1) - 1).astype(jnp.int8) for k in range(32)]
+    return jnp.concatenate(planes, axis=1)
+
+
+def _xnor_mxu_kernel(a_ref, b_ref, mean_ref, bias_ref, out_ref, au_ref, *,
                      const: float, leaky: bool):
     """MXU engine: blocks a [TM, F] / b [TN, F] int32 bit lanes are unpacked to
     +-1 int8 in VMEM (32 shift/mask planes, bit-major concat — identical order
@@ -204,16 +214,20 @@ def _xnor_mxu_kernel(a_ref, b_ref, mean_ref, bias_ref, out_ref, *,
     (2*cnt - adjust) * mean + bias exactly. Keeps the reference's BIT1 weight
     storage (32x smaller than int8) while trading the VPU popcount loop for an
     int8 MXU matmul — the TPU analog of the CUDA binary tensor-core kernel
-    (src/gpu.cu:1815-2002)."""
-    def unpack(v):
-        # arithmetic stays int32 (Mosaic has no vector int8 mul); one cast at
-        # the end feeds the int8 MXU operands
-        planes = [((v >> k) & 1) for k in range(32)]
-        return (2 * jnp.concatenate(planes, axis=1) - 1).astype(jnp.int8)
+    (src/gpu.cu:1815-2002).
 
-    au = unpack(a_ref[:])                              # [TM, L]
-    bu = unpack(b_ref[:])                              # [TN, L]
-    acc = lax.dot_general(bu, au, (((1,), (1,)), ((), ())),
+    The unpacked WEIGHT tile persists in VMEM scratch (``au_ref``) across the
+    pixel-tile grid axis: with grid (i=filters, j=pixels) the j axis is
+    innermost, so the a-block is constant for a whole j sweep and its 32-plane
+    unpack runs once per filter tile (j == 0) instead of once per program —
+    the round-4 'unpack-dot fusion / weight-tile reuse' step of the VERDICT
+    r3 #6 item."""
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        au_ref[:] = _unpack_pm1(a_ref[:])              # [TM, L], once per i
+
+    bu = _unpack_pm1(b_ref[:])                         # [TN, L]
+    acc = lax.dot_general(bu, au_ref[:], (((1,), (1,)), ((), ())),
                           preferred_element_type=jnp.int32)   # [TN, TM]
     y = (acc.astype(jnp.float32) + const) * mean_ref[0, :] + bias_ref[0, :]
     if leaky:
@@ -221,18 +235,45 @@ def _xnor_mxu_kernel(a_ref, b_ref, mean_ref, bias_ref, out_ref, *,
     out_ref[:] = y
 
 
+def _auto_tiles(m_pad: int, f_pad: int, n: int):
+    """Tile choice from the r4 on-chip sweep (bench_xnor.py, 52x52x128->256
+    probe: tn=1024/tm=whole-M measured 0.514 ms vs 0.494 dense int8 same-run;
+    tn=512/tm=128 was 0.567 — see PERF_NOTES 'Round 4: XNOR'). Larger tiles
+    win until scoped VMEM runs out (the compiler's 16M stack limit; whole-N
+    tiles OOM'd at 25.7M), so: whole-M weight tiles up to 512 filters (one
+    b-unpack per pixel tile), then the largest pixel tile whose working set
+    — unpacked b tile (int8 planes + an int32 working plane), the j==0 a-tile
+    unpack, and the f32 out tile with its pipeline double buffer — fits a
+    conservative 12M budget."""
+    lanes = f_pad * 32
+    tm = m_pad if m_pad <= 512 else 128
+    cap = _round_up(n, 128)          # don't pad tiny pixel counts to 1024
+    for tn in (1024, 512, 256, 128):
+        tn = min(tn, cap)
+        need = (tn * lanes * 3) + (tm * lanes * 3) + 2 * (tn * tm * 4)
+        if need <= 12 * 1024 * 1024:
+            return tn, tm
+    return 128, min(tm, 128)
+
+
 def xnor_gemm_mxu(packed_w, mean, bias, patches, k_real: int, *,
-                  activation: str = "leaky", tn: int = 256,
+                  activation: str = "leaky", tn: int = None, tm: int = None,
                   interpret: bool = False):
     """Bit-packed GEMM on the MXU engine (see _xnor_mxu_kernel). Interface and
     results identical to :func:`xnor_gemm`; the F axis only needs 32*F % 128
-    alignment (F multiple of 4), not the popcount kernel's 128-lane padding."""
+    alignment (F multiple of 4), not the popcount kernel's 128-lane padding.
+
+    tn/tm default to the VMEM-aware sweep winners (:func:`_auto_tiles`)."""
     m_pad, f_pad = packed_w.shape
     n = patches.shape[0]
+    auto_tn, auto_tm = _auto_tiles(m_pad, f_pad, n)
+    if tn is None:
+        tn = auto_tn
+    if tm is None:
+        tm = auto_tm
     n_pad = _round_up(n, tn)
     if n_pad != n:
         patches = jnp.pad(patches, ((0, n_pad - n), (0, 0)))
-    tm = min(128, m_pad)
     m_real = mean.shape[0]
     mean_p = jnp.zeros((1, m_pad), jnp.float32).at[0, :m_real].set(mean)
     bias_p = jnp.zeros((1, m_pad), jnp.float32).at[0, :m_real].set(bias)
@@ -259,6 +300,7 @@ def xnor_gemm_mxu(packed_w, mean, bias, patches, k_real: int, *,
         out_specs=pl.BlockSpec((tn, tm), lambda i, j: (j, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tm, f_pad * 32), jnp.int8)],
         interpret=interpret,
     )(packed_w, patches, mean_p, bias_p)
     return out[:n, :m_real]
@@ -267,7 +309,8 @@ def xnor_gemm_mxu(packed_w, mean, bias, patches, k_real: int, *,
 def conv2d_xnor_pallas(x, packed_w, mean, bias, *, size: int, stride: int,
                        pad: int, c_real: int, k_real: int,
                        activation: str = "leaky", interpret=None,
-                       engine: str = "popcount"):
+                       engine: str = "popcount", tn: int = None,
+                       tm: int = None):
     """Full BIT1 conv: pack input bits -> packed patch extraction -> bit GEMM.
 
     ``engine``: "popcount" (VPU xnor+popcount loop, the faithful reference
@@ -311,11 +354,13 @@ def conv2d_xnor_pallas(x, packed_w, mean, bias, *, size: int, stride: int,
         if pt.shape[1] != f4:
             pt = jnp.pad(pt, ((0, 0), (0, f4 - f)))
         out = xnor_gemm_mxu(packed_w[:, :f4], mean, bias, pt, k_real,
-                            activation=activation, interpret=interpret)
+                            activation=activation, interpret=interpret,
+                            tm=tm, **({"tn": tn} if tn else {}))
     else:
         f_pad = packed_w.shape[1]
         if f_pad != f:
             pt = jnp.pad(pt, ((0, 0), (0, f_pad - f)))
         out = xnor_gemm(packed_w, mean, bias, pt, k_real,
-                        activation=activation, interpret=interpret)
+                        activation=activation, interpret=interpret,
+                        **({"tn": tn} if tn else {}))
     return out.reshape(b, oh, ow, m_real)
