@@ -22,6 +22,9 @@ Parsed fields (one JSON line):
   * yuv_stream_img_s (+ _spread) — streamed frame->boxes with camera-native
     planar YUV420 uint8 ingest, b=64 depth-3 (halves H2D bytes vs RGB; the
     strongest e2e config, PERF_NOTES.md).
+  * serve_b1_ms_frame — chip-side per-frame cost of the in-jit b=1 serving
+    ring (serve_scan: full ingest+forward+decode+device-NMS, dispatch and
+    relay RTT cancelled by ring differencing — bench_serve.py, round 4).
 After the JSON line, stderr-only extras re-measure the rounds-1/2 RGB-ingest
 config and the int8 streamed config for round-over-round comparability
 (after, so a truncated run never loses the driver-facing line).
@@ -181,6 +184,7 @@ def main():
     spec = parse_network_cfg(cfg, batch=1)
     params = sparse_head_biases(
         spec, fuse_conv_batchnorm(spec, random_params(spec, seed=0)))
+    qparams = quantize_params(spec, params)
     # Two distinct relay failure modes (diagnosed 2026-08-18):
     #  * WEDGE — the listener is up but blocked; recovers in ~5-30 min.
     #  * GONE  — no relay listener at all: the host-side relay process died
@@ -245,7 +249,7 @@ def main():
 
     # --- PRIMARY: device-resident int8 (bit-exact cpu semantics) ------------
     ms, ms_min, ms_max = device_resident_ms_img(
-        spec, quantize_params(spec, params), "int8", int8_policy="cpu",
+        spec, qparams, "int8", int8_policy="cpu",
         int8_chain=True, compute_dtype=jnp.bfloat16)
     extra["int8_device_ms_img"] = round(ms, 3)
     extra["int8_device_ms_img_spread"] = [round(ms_min, 3), round(ms_max, 3)]
@@ -257,7 +261,7 @@ def main():
     # --- parsed secondary: turbo (bf16-materialized activations, f32 math) --
     try:
         tms, tms_min, tms_max = with_timeout(lambda: device_resident_ms_img(
-            spec, quantize_params(spec, params), "int8", int8_policy="cpu",
+            spec, qparams, "int8", int8_policy="cpu",
             int8_chain=True, compute_dtype=jnp.bfloat16,
             residual_dtype=jnp.bfloat16), 900, "turbo probe")
         extra["int8_turbo_device_ms_img"] = round(tms, 3)
@@ -305,6 +309,27 @@ def main():
     except Exception as e:
         log(f"yuv streamed probe failed: {e}")
 
+    # --- parsed secondary: b=1 serving per-frame (serve_scan ring diff) -----
+    # one dispatch runs a resident ring of N frames at b=1 semantics (full
+    # ingest+forward+decode+device-NMS per frame); differencing two ring
+    # sizes cancels dispatch + relay RTT exactly (bench_serve.py, r4 #2)
+    try:
+        from bench_serve import build_bodies, measure
+        body, p = build_bodies(spec, params, qparams, "serve_int8")
+        rings = {}
+        for n in (16, 128):
+            med, _, _ = with_timeout(lambda n=n: measure(body, p, spec, n),
+                                     900, f"serve ring {n}")
+            rings[n] = med
+        per_frame = (rings[128] - rings[16]) / (128 - 16) * 1e3
+        extra["serve_b1_ms_frame"] = round(per_frame, 3)
+        log(f"b=1 serving (serve_scan ring diff, full decode+NMS): "
+            f"{per_frame:.3f} ms/frame "
+            f"(dispatch overhead {rings[16] * 1e3 - per_frame * 16:.1f} ms "
+            f"amortized)")
+    except Exception as e:
+        log(f"serve probe failed: {e}")
+
     print(json.dumps({
         "metric": "yolov3-416_int8_device_img_s",
         "value": round(value, 1),            # median of 5 runs, b=128
@@ -324,7 +349,6 @@ def main():
     except Exception as e:
         log(f"rgb probe failed: {e}")
     try:
-        qparams = quantize_params(spec, params)
         pipe8 = DetectionPipeline(spec, qparams, "int8", thresh=0.24, nms=0.2,
                                   k=64, int8_policy="cpu",
                                   compute_dtype=jnp.bfloat16,
