@@ -73,10 +73,26 @@ def test_full_net_engines_match():
     x = np.random.RandomState(3).rand(
         1, spec.net.h, spec.net.w, spec.net.c).astype(np.float32)
     outs = {}
-    for eng in ("int8", "pallas", "pallas_mxu"):
+    for eng in ("int8", "pallas", "pallas_mxu", "auto"):
         heads = Predictor(spec, params, xnor_impl=eng)(x)
         outs[eng] = [np.asarray(h.data) for h in heads]
-    for eng in ("pallas", "pallas_mxu"):
+    for eng in ("pallas", "pallas_mxu", "auto"):
         for a, b in zip(outs["int8"], outs[eng]):
             np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5,
                                        err_msg=eng)
+
+
+def test_auto_engine_crossover():
+    """xnor_impl="auto" picks the measured-fastest engine on the GEMM M
+    dimension (TOTAL output pixels batch*oh*ow): bit-packed MXU at small M
+    (the b=1 latency regime on deep-net layers), dense +-1 int8 elsewhere —
+    including the SAME 13x13 layer once batch makes M large (on-chip sweep +
+    net-level check in PERF_NOTES 'Round 4: XNOR')."""
+    from yolo2_light_tpu.ops.pallas_xnor import auto_prefers_mxu
+
+    assert auto_prefers_mxu(1 * 13 * 13)
+    assert auto_prefers_mxu(1 * 19 * 19)
+    assert auto_prefers_mxu(2 * 13 * 13)
+    assert not auto_prefers_mxu(1 * 26 * 26)
+    assert not auto_prefers_mxu(1 * 104 * 104)
+    assert not auto_prefers_mxu(128 * 13 * 13)  # batch flips the choice

@@ -15,7 +15,8 @@ the reference-exact video path; demo otherwise defaults to bf16 for speed),
 -save PATH, -c CAM_INDEX, -s FRAME_SKIP (demo), -int8_policy cpu|gpu|cpu_old,
 -device_nms (map/demo: greedy NMS on device, fused into the XLA program),
 -k N (map/demo: candidate-buffer size; raise on saturation warnings),
--xnor_kernel int8|pallas|pallas_mxu, -batch N (map/demo device batch),
+-xnor_kernel int8|pallas|pallas_mxu|auto (auto: per-layer fastest measured
+engine — bit-identical either way), -batch N (map/demo device batch),
 -int8_impl xla|fused|pallas (-quantized conv engine; "fused" runs darknet53
 residual stages as single Pallas kernels with the trunk VMEM-resident,
 bit-exact on hardware but measured slower than the default XLA engine —

@@ -221,9 +221,9 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
     if int8_impl not in ("xla", "pallas", "fused"):
         raise ValueError(f"unknown int8_impl {int8_impl!r} "
                          "(expected xla, pallas, or fused)")
-    if xnor_impl not in ("int8", "pallas", "pallas_mxu"):
+    if xnor_impl not in ("int8", "pallas", "pallas_mxu", "auto"):
         raise ValueError(f"unknown xnor_impl {xnor_impl!r} "
-                         "(expected int8, pallas, or pallas_mxu)")
+                         "(expected int8, pallas, pallas_mxu, or auto)")
     if mode == "int8" and int8_policy == "cpu_old":
         return build_forward_int8_old(spec)
     int8_set = _int8_layer_set(spec, int8_policy) if mode == "int8" else set()
@@ -305,7 +305,19 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
                 # xnor is honored only on float-dispatched convs (layer 0 /
                 # LINEAR / gpu-ineligible), caught by the generative fuzzer
                 if l.xnor and i not in int8_set:
-                    if (xnor_impl in ("pallas", "pallas_mxu")
+                    # per-layer engine choice: all engines are bit-identical
+                    # (tests/test_pallas_xnor.py + on-chip sweep), so "auto"
+                    # is purely a speed pick on the GEMM M dimension = TOTAL
+                    # output pixels batch*oh*ow — the bit-packed MXU kernel
+                    # wins only when M is small (latency regime); at batch the
+                    # dense conv regains the lead at every geometry
+                    # (ops/pallas_xnor.auto_prefers_mxu, PERF_NOTES r4 XNOR)
+                    impl = xnor_impl
+                    if impl == "auto":
+                        from ..ops.pallas_xnor import auto_prefers_mxu
+                        impl = ("pallas_mxu" if auto_prefers_mxu(
+                            cur.shape[0] * l.out_h * l.out_w) else "int8")
+                    if (impl in ("pallas", "pallas_mxu")
                             and l.stride == 1 and l.pad == 1
                             and "packed_weights" in p):
                         from ..ops.pallas_xnor import conv2d_xnor_pallas
@@ -315,7 +327,7 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
                             pad=l.pad, c_real=l.c,
                             k_real=l.size * l.size * l.c,
                             activation=l.activation,
-                            engine="mxu" if xnor_impl == "pallas_mxu"
+                            engine="mxu" if impl == "pallas_mxu"
                             else "popcount")
                     else:
                         cur = L.conv2d_xnor(

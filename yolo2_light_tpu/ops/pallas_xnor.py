@@ -235,6 +235,27 @@ def _xnor_mxu_kernel(a_ref, b_ref, mean_ref, bias_ref, out_ref, au_ref, *,
     out_ref[:] = y
 
 
+#: per-layer engine crossover for xnor_impl="auto" (models/network.py),
+#: on the GEMM M dimension = TOTAL output pixels (batch * oh * ow). The r4
+#: on-chip b=1 sweep vs the dense +-1 int8 conv (all bit-identical) has the
+#: bit-packed MXU engine winning at small M (13x13=169: c256 -22%, c512 -20%,
+#: c1024 -28%; 19x19=361 c512 -15%) and losing above it (+6% at 26^2=676
+#: c512, +5.8% at 52^2 c128, +14% at 104^2 c64): XLA's conv runs out of MXU
+#: work at small M while the bit GEMM's 32x-smaller traffic keeps it fed.
+#: The crossover is NOT per-image geometry — at b=128 the same 13x13 layer
+#: is M=21632 and dense wins decisively (net-level check in
+#: bench_xnor_net.py: geometry-only auto lost 48% at b=128). Threshold =
+#: the largest measured winning M (19^2; covers the deep head of 416- and
+#: 608-input nets in the b=1 latency regime).
+AUTO_MXU_MAX_PIXELS = 361
+
+
+def auto_prefers_mxu(total_out_pixels: int) -> bool:
+    """True when the bit-packed MXU engine measured faster than the dense
+    +-1 int8 conv at this GEMM M = batch*oh*ow (see AUTO_MXU_MAX_PIXELS)."""
+    return total_out_pixels <= AUTO_MXU_MAX_PIXELS
+
+
 def _auto_tiles(m_pad: int, f_pad: int, n: int):
     """Tile choice from the r4 on-chip sweep (bench_xnor.py, 52x52x128->256
     probe: tn=1024/tm=whole-M measured 0.514 ms vs 0.494 dense int8 same-run;
