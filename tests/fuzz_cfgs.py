@@ -247,12 +247,19 @@ def main(n_nets=20, seed0=0):
         # devices, GSPMD channel sharding inside each stage), alternating
         # fp32 / -quantized (advisor r3: int8 stage params under per-stage
         # GSPMD were CLI-reachable but never fuzzed).
-        variants = [(False, 0, 1)]
+        variants = [(False, 0, 1, None)]
         if t % 2 == 0:
-            variants.append((True, 0, 1))
+            variants.append((True, 0, 1, None))
         if t % 3 == 0:
-            variants.append((t % 12 == 6, 2, 2 if t % 6 == 0 else 1))
-        for quant, pp, tp in variants:
+            variants.append((t % 12 == 6, 2, 2 if t % 6 == 0 else 1, None))
+        # xnor nets: every other one also runs -xnor_kernel auto (per-layer
+        # engine pick on GEMM M — small-M layers take the bit-packed Pallas
+        # MXU path; all engines are bit-identical so the SAME strict oracle
+        # diff applies; random 17-230px inputs put random layers on each
+        # side of the AUTO_MXU_MAX_PIXELS crossover)
+        if "xnor=1" in cfg_text and t % 2 == 1:
+            variants.append((False, 0, 1, "auto"))
+        for quant, pp, tp, xnor_eng in variants:
             args = ["detector", "test", names, cfg, wpath, img,
                     "-thresh", "0.3", "-dont_show"] + (
                         ["-quantized"] if quant else [])
@@ -261,6 +268,8 @@ def main(n_nets=20, seed0=0):
             env = {**os.environ, "YOLO2_TPU_PLATFORM": "cpu",
                    "PYTHONPATH": "/root/repo"}
             our_args = list(args)
+            if xnor_eng:
+                our_args += ["-xnor_kernel", xnor_eng]
             if pp:
                 our_args += ["-pp", str(pp)]
                 if tp > 1:
@@ -272,7 +281,8 @@ def main(n_nets=20, seed0=0):
                                 + our_args, capture_output=True, text=True,
                                 timeout=300, cwd=OUT, env=env)
             tag = (f"net{t} q{int(quant)}" + (f" pp{pp}" if pp else "")
-                   + (f" tp{tp}" if tp > 1 else ""))
+                   + (f" tp{tp}" if tp > 1 else "")
+                   + (f" xnor-{xnor_eng}" if xnor_eng else ""))
             if ro.returncode != 0:
                 print(f"[{tag}] oracle rc={ro.returncode}: "
                       f"{ro.stderr[-120:]!r} (skipping)")

@@ -138,6 +138,44 @@ def test_pipeline_device_nms_autogrow(capsys):
         assert d_small.n == d_big.n
 
 
+def test_autogrow_past_4096_to_total_candidates(tmp_path, capsys):
+    """The grow ceiling is the net's TOTAL candidate count, not 4096: a head
+    with >4096 raw candidates and a saturating workload must converge to the
+    full detection set with NO drop warning (the generative fuzzer caught a
+    net whose detections_count diverged from the oracle at the old cap —
+    the reference keeps every above-threshold box, additionally.c:4700-4712).
+    device_nms pipelines keep the 4096 cap (O(K^2) IoU matrix)."""
+    cfg = str(tmp_path / "bighead.cfg")
+    with open(cfg, "w") as f:
+        f.write("[net]\nbatch=1\nwidth=80\nheight=80\nchannels=3\n"
+                "[convolutional]\nfilters=24\nsize=1\nstride=1\npad=0\n"
+                "activation=linear\n"
+                "[yolo]\nmask = 0,1,2\n"
+                "anchors = 10,14, 23,27, 37,58\nclasses=3\nnum=3\n")
+    spec = parse_network_cfg(cfg, batch=1)
+    params = fuse_conv_batchnorm(spec, random_params(spec, seed=3))
+    x = np.random.RandomState(1).rand(1, 80, 80, 3).astype(np.float32)
+    full = DetectionPipeline(spec, params, thresh=0.01, nms=0, k=80 * 80 * 3)
+    assert full._total_candidates == 80 * 80 * 3 > 4096
+    d_full = full(x)[0]
+    assert d_full.n > 4096  # the workload really needs K past the old cap
+    small = DetectionPipeline(spec, params, thresh=0.01, nms=0, k=256)
+    d_small = small(x)[0]
+    assert d_small.n == d_full.n
+    chain_k = small._promoted.k
+    while getattr(small._promoted, "_promoted", None) is not None:
+        small = small._promoted
+        chain_k = small._promoted.k
+    assert chain_k == full._total_candidates  # grew to the exact ceiling
+    err = capsys.readouterr().err
+    assert "note: candidate buffer" in err   # grow notes printed
+    assert "may be dropped" not in err       # but nothing was ever dropped
+    # device_nms keeps the bounded cap
+    capped = DetectionPipeline(spec, params, thresh=0.01, nms=0.4, k=256,
+                               device_nms=True)
+    assert capped._max_k == 4096
+
+
 def test_device_nms_stream_saturation_autogrow(capsys):
     """stream() auto-grows like __call__; with device NMS the saturation
     signal is the pre-NMS flag row — a saturated tiny K re-runs the batch at

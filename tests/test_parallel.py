@@ -157,6 +157,42 @@ def test_int8_pipeline_pp_tp_matches_single(tmp_path):
                                    np.sort(b.prob.max(-1)), rtol=1e-4)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_xnor_auto_pallas_layer_under_mesh(tmp_path):
+    """xnor_impl='auto' under the global mesh with a layer that actually takes
+    the Pallas MXU path: mini-xnor shrunk to 32x32 puts its deepest xnor conv
+    at 8x8 out (M = 2*64 = 128 <= AUTO_MXU_MAX_PIXELS), so the bit-packed
+    Pallas kernel runs INSIDE the dp2 x tp4 GSPMD program; detections must
+    match the meshless all-dense pipeline (Pallas custom calls under SPMD
+    partitioning are the rough edge this pins)."""
+    from yolo2_light_tpu.ops.pallas_xnor import auto_prefers_mxu
+    from yolo2_light_tpu.pipeline import DetectionPipeline
+    from yolo2_light_tpu.xnor import binarize_params
+    text = open(os.path.join(DATA, "mini-xnor.cfg")).read().replace(
+        "width=64", "width=32").replace("height=64", "height=32")
+    cfg = str(tmp_path / "mini-xnor-32.cfg")
+    with open(cfg, "w") as f:
+        f.write(text)
+    spec = parse_network_cfg(cfg, batch=2)
+    picked = [2 * l.out_h * l.out_w for l in spec.layers
+              if getattr(l, "xnor", False)
+              and auto_prefers_mxu(2 * l.out_h * l.out_w)]
+    assert picked, "fixture regressed: no layer takes the Pallas MXU path"
+    params = binarize_params(
+        spec, fuse_conv_batchnorm(spec, random_params(spec, seed=9)))
+    x = (np.random.RandomState(2).rand(2, 32, 32, 3) * 255).astype(np.uint8)
+    plain = DetectionPipeline(spec, params, thresh=0.3, nms=0.4, k=2048,
+                              xnor_impl="int8")
+    mesh = make_mesh(8, data=2, model=4)
+    meshed = DetectionPipeline(spec, params, thresh=0.3, nms=0.4, k=2048,
+                               mesh=mesh, xnor_impl="auto")
+    d0, d1 = plain(x), meshed(x)
+    for a, b in zip(d0, d1):
+        assert a.n == b.n
+        np.testing.assert_allclose(np.sort(a.prob.max(-1)),
+                                   np.sort(b.prob.max(-1)), rtol=1e-4)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
 def test_xnor_pipeline_pp_tp_matches_single():
     """xnor cfg under -pp 2 -pp_tp 2 (binary params under per-stage GSPMD)."""

@@ -14,7 +14,9 @@ the reference-exact video path; demo otherwise defaults to bf16 for speed),
 -dont_show, -letterbox, -out_filename S,
 -save PATH, -c CAM_INDEX, -s FRAME_SKIP (demo), -int8_policy cpu|gpu|cpu_old,
 -device_nms (map/demo: greedy NMS on device, fused into the XLA program),
--k N (map/demo: candidate-buffer size; raise on saturation warnings),
+-k N (map/demo: initial candidate-buffer size; saturation auto-grows to the
+net's total candidate count — size up front only to skip the re-run cost;
+with -device_nms the ceiling is 4096, its IoU matrix is O(K^2)),
 -xnor_kernel int8|pallas|pallas_mxu|auto (auto: per-layer fastest measured
 engine — bit-identical either way), -batch N (map/demo device batch),
 -int8_impl xla|fused|pallas (-quantized conv engine; "fused" runs darknet53

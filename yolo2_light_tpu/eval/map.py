@@ -251,13 +251,18 @@ def format_map_report(result: dict, names, iou_thresh: float,
     lines = [f"detections_count = {result['detections_count']}, "
              f"unique_truth_count = {result['unique_truth_count']}  "]
     n = result["detections_count"]
-    if n:
-        lines.append("\r".join(f" rank = {r} of ranks = {n} "
-                               for r in range(0, n, 100)))
+    # every rank marker ENDS with \r (additionally.c:4805 has no trailing
+    # \n), so the first class_id line follows the last marker after a bare
+    # carriage return — byte-exact junction caught by the generative fuzzer
+    # (the earlier \n-joined form only matched oracles with n == 0)
+    pending = ("".join(f" rank = {r} of ranks = {n} \r"
+                       for r in range(0, n, 100)) if n else "")
     for i, a in enumerate(result["ap"]):
         name = names[i] if i < len(names) else str(i)
-        lines.append(f"class_id = {i}, name = {name}, \t ap = {a * 100:2.2f} % ")
-    lines.append(f" for thresh = {thresh:1.2f}, precision = "
+        lines.append(pending + f"class_id = {i}, name = {name}, "
+                     f"\t ap = {a * 100:2.2f} % ")
+        pending = ""
+    lines.append(pending + f" for thresh = {thresh:1.2f}, precision = "
                  f"{_c_float_fmt(result['precision'])}, recall = "
                  f"{_c_float_fmt(result['recall'])}, "
                  f"F1-score = {_c_float_fmt(result['f1'])} ")

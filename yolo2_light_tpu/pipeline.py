@@ -117,6 +117,15 @@ class DetectionPipeline:
         self.head_specs = [l for l in spec.layers
                            if isinstance(l, (YoloSpec, RegionSpec))]
         self.classes = self.head_specs[-1].classes
+        # total raw candidates the net can produce (sum over heads of
+        # h*w*anchors): decode's top_k clamps to this N, so K >= N cannot
+        # drop a detection — it is the saturation auto-grow ceiling (the
+        # reference has no cap at all, its host arrays are dynamic;
+        # additionally.c keeps every above-threshold box). device_nms keeps
+        # a 4096 cap: its per-image [K,K] IoU matrix is O(K^2) memory
+        # (post/device_nms.py:72).
+        self._total_candidates = sum(l.out_h * l.out_w * l.n
+                                     for l in self.head_specs)
         fwd = build_forward(spec, mode, int8_policy=int8_policy,
                             compute_dtype=compute_dtype, xnor_impl=xnor_impl,
                             int8_chain=True, int8_impl=int8_impl,
@@ -243,14 +252,25 @@ class DetectionPipeline:
             if (sw, sh) != (pipe.spec.net.w, pipe.spec.net.h):
                 im_sizes = [(sw, sh)] * shp[0]
         packed = np.asarray(raw_dev).astype(np.float32)  # one D2H transfer
-        if pipe._saturated(packed) and pipe.k < 4096:
+        if pipe._saturated(packed) and pipe.k < pipe._max_k:
             grown = pipe._grow_and_promote()
             return grown(images, im_sizes)
         return pipe._finish_batch(packed, im_sizes)
 
+    @property
+    def _max_k(self) -> int:
+        """Auto-grow ceiling: the net's total candidate count (K >= N cannot
+        drop anything), bounded at 4096 under device_nms (O(K^2) IoU)."""
+        return (min(4096, self._total_candidates) if self.device_nms
+                else self._total_candidates)
+
     def _saturated(self, packed: np.ndarray) -> bool:
         """True when this pipeline's candidate buffer filled for any image of
         an already-fetched packed batch (detections may have been dropped)."""
+        if self.k >= self._total_candidates:
+            # K covers every decodable candidate: full slots just mean every
+            # candidate passed the threshold — nothing can have been dropped
+            return False
         rows = self.k + 1 if self.device_nms else self.k  # +1: flag row
         if packed.shape[1] != rows:
             return False
@@ -263,7 +283,7 @@ class DetectionPipeline:
         it. Thread-safe: stream() grows from finish-worker threads."""
         import sys
         with self._grow_lock:
-            new_k = min(4096, self.k * 4)
+            new_k = min(self._max_k, self.k * 4)
             print(f"note: candidate buffer K={self.k} saturated; re-running "
                   f"batch with K={new_k} (future batches use the grown buffer)",
                   file=sys.stderr)
@@ -333,7 +353,7 @@ class DetectionPipeline:
             if (sw, sh) != (self.spec.net.w, self.spec.net.h):
                 im_sizes = [(sw, sh)] * shp[0]
         packed = np.asarray(raw).astype(np.float32)  # one D2H transfer
-        if self._saturated(packed) and self.k < 4096:
+        if self._saturated(packed) and self.k < self._max_k:
             grown = self._grow_and_promote()
             return grown.serve_scan(frames, im_sizes)
         return self._finish_batch(packed, im_sizes)
@@ -344,7 +364,8 @@ class DetectionPipeline:
         after exact per-class NMS.
 
         If the candidate buffer saturates (all K slots used — detections may have
-        been dropped), the batch transparently re-runs with K x4, up to 4096.
+        been dropped), the batch transparently re-runs with K x4, up to the
+        net's total candidate count (4096 under device_nms).
         """
         return self.collect(self.dispatch(images), im_sizes)
 
@@ -387,7 +408,7 @@ class DetectionPipeline:
 
         def finish_batch(pipe, packed_dev, sizes, xb):
             packed = np.asarray(packed_dev).astype(np.float32)
-            if pipe._saturated(packed) and pipe.k < 4096:
+            if pipe._saturated(packed) and pipe.k < pipe._max_k:
                 grown = pipe._grow_and_promote()
                 return grown(xb, sizes)
             return pipe._finish_batch(packed, sizes)
@@ -425,7 +446,9 @@ class DetectionPipeline:
         obj = packed_i[:, 4]
         probs = packed_i[:, 5:]
         keep = probs.max(axis=-1) > 0
-        if saturated or (keep.all() and packed_i.shape[0] == self.k):
+        if (self.k < self._total_candidates
+                and (saturated or (keep.all()
+                                   and packed_i.shape[0] == self.k))):
             import sys
             print(f"warning: candidate buffer K={self.k} saturated; "
                   "some detections may be dropped (raise k)", file=sys.stderr)
