@@ -75,6 +75,32 @@ def test_serve_scan_autogrow():
         _assert_identical(g, w)
 
 
+def test_serve_scan_xnor_auto_matches_per_frame(tmp_path):
+    """xnor_impl='auto' inside the serving ring: at b=1 the deep layers take
+    the bit-packed Pallas MXU path INSIDE the lax.scan body (the latency
+    regime auto exists for), and every frame matches per-frame dispatch."""
+    from yolo2_light_tpu.ops.pallas_xnor import auto_prefers_mxu
+    from yolo2_light_tpu.xnor import binarize_params
+    text = open(os.path.join(DATA, "mini-xnor.cfg")).read().replace(
+        "width=64", "width=32").replace("height=64", "height=32")
+    cfg = str(tmp_path / "mini-xnor-32.cfg")
+    with open(cfg, "w") as f:
+        f.write(text)
+    spec = parse_network_cfg(cfg, batch=1)
+    assert any(getattr(l, "xnor", False)
+               and auto_prefers_mxu(l.out_h * l.out_w)
+               for l in spec.layers)  # a layer really takes the Pallas path
+    params = binarize_params(
+        spec, fuse_conv_batchnorm(spec, random_params(spec, seed=6)))
+    pipe = DetectionPipeline(spec, params, thresh=0.3, nms=0.4, k=256,
+                             xnor_impl="auto")
+    rng = np.random.RandomState(5)
+    frames = rng.rand(3, 32, 32, 3).astype(np.float32)
+    scanned = pipe.serve_scan(frames.copy())
+    for i in range(3):
+        _assert_identical(scanned[i], pipe(frames[i:i + 1])[0])
+
+
 def test_serve_scan_rejects_pp_and_mesh():
     spec, _ = _pipe(seed=1)
     params = fuse_conv_batchnorm(spec, random_params(spec, seed=1))
