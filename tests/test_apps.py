@@ -171,6 +171,18 @@ def test_cli_pp_tp_without_pp_errors(capsys):
     assert "-pp_tp requires -pp" in capsys.readouterr().err
 
 
+def test_cli_device_nms_on_test_errors(capsys):
+    """-device_nms is consumed only by map/demo; on detector test (the
+    host-post oracle path) it must error loudly, not silently run host NMS
+    while claiming device NMS (same class as the -pp_tp guard)."""
+    from yolo2_light_tpu.apps.cli import _main
+    for sub in ("test", "calibrate"):
+        rc = _main(["detector", sub, "n.names", "c.cfg", "w.weights",
+                    "-device_nms"])
+        assert rc == 1
+        assert "map/demo only" in capsys.readouterr().err
+
+
 def test_cli_missing_files():
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
     r = subprocess.run([sys.executable, "-m", "yolo2_light_tpu", "detector",

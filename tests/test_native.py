@@ -45,8 +45,13 @@ def test_native_nms_matches_numpy(lib):
     objectness = (rng.rand(n) > 0.1).astype(np.float32)
     expected = _numpy_nms(bbox, prob.copy(), objectness, classes, 0.45)
     got = np.ascontiguousarray(prob.copy())
-    assert nms_sort_native(bbox, got, objectness, 0.45)
+    order = nms_sort_native(bbox, got, objectness, 0.45)
+    assert order is not None
+    # continuous probs -> no exact ties, so the simple per-class-stable-sort
+    # oracle above predicts the same suppression as the reference's carried
+    # permutation (tie cases: tests/test_nms_tie_order.py)
     np.testing.assert_array_equal(got, expected)
+    assert sorted(order.tolist()) == list(range(bbox.shape[0]))
 
 
 def test_native_resize_matches_numpy(lib, monkeypatch):

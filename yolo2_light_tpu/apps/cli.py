@@ -222,6 +222,15 @@ def _main(argv=None) -> int:
         return 1
 
     sub = args[0]
+    if device_nms and sub in ("test", "calibrate"):
+        # -device_nms is only consumed by map/demo (the test app is the
+        # host-post oracle path); silently ignoring it would tell a user
+        # their NMS ran on device when it didn't (same class as the -pp_tp
+        # guard above)
+        print("error: -device_nms applies to detector map/demo only "
+              "(detector test uses the reference host post-processing path)",
+              file=sys.stderr)
+        return 1
     obj_names = args[1]
     cfg = args[2] if len(args) > 2 else None
     weights = args[3] if len(args) > 3 else None

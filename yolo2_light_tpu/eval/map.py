@@ -59,6 +59,14 @@ class MapAccumulator:
         * threshold-level TP requires being the image's FIRST kept record (any
           prob) matched to that truth (the checkpoint rescan at :4752-4756)
         """
+        # the reference's record loop walks the POST-NMS qsort-permuted dets
+        # array (additionally.c:4702 iterates the array do_nms_sort left
+        # behind); record insertion order feeds the stable global rank sort,
+        # the per-image first-match dedupe, and the sequential-f32 avg_iou
+        # adds — on exact-prob ties each differs between decode order and the
+        # reference's order (post.in_reference_order)
+        from ..post.boxes import in_reference_order
+        dets = in_reference_order(dets)
         truth = np.asarray(truth, np.float32).reshape(-1, 5)
         tboxes = truth[:, 1:5]
         tids = truth[:, 0].astype(np.int64)

@@ -153,7 +153,10 @@ def echo_detections_cv(dets, names, thresh: float, classes: int,
     CLAMPED-int corners and raw scaled w/h. Factored out of the draw so the
     demo can echo EVERY detected frame (the reference detects and prints every
     frame; only the DISPLAYED frame is delay-gated, main.c:553-557) without
-    paying the pixel pass for frames it never shows."""
+    paying the pixel pass for frames it never shows. The reference loop runs
+    over the POST-NMS qsort-permuted dets array — iterate that order."""
+    from ..post.boxes import in_reference_order
+    dets = in_reference_order(dets)
     for i in range(dets.n):
         class_id = -1
         for j in range(classes):
@@ -189,6 +192,8 @@ def draw_detections_cv(im: np.ndarray, dets, names, thresh: float,
     """
     from PIL import Image, ImageDraw
 
+    from ..post.boxes import in_reference_order
+    dets = in_reference_order(dets)  # draw in the POST-NMS array order
     h, w = im.shape[:2]
     if echo is not None:
         # drawing prints nothing, so echoing all object lines up front is
@@ -234,7 +239,10 @@ def draw_detections(im: np.ndarray, dets, names, thresh: float, classes: int) ->
     Boxes draw in ASCENDING best-class-probability order (the reference's
     compare_by_probs qsort, main.c:73-78,107) so the most confident box lands
     on top where outlines overlap — pixel-level predictions.png parity needs
-    this layering (ties: qsort order is unspecified; we use a stable sort)."""
+    this layering. glibc's qsort is a stable mergesort, so equal-prob ties
+    draw in the POST-NMS array order (post.in_reference_order)."""
+    from ..post.boxes import in_reference_order
+    dets = in_reference_order(dets)
     best_class = np.full(dets.n, -1)
     best_prob = np.full(dets.n, thresh, np.float32)
     for j in range(dets.prob.shape[1]):

@@ -41,8 +41,9 @@ def _build_and_load():
         os.replace(tmp, so_path)
     lib = ctypes.CDLL(so_path)
     f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
     lib.nms_sort.argtypes = [f32p, f32p, f32p, ctypes.c_int64, ctypes.c_int64,
-                             ctypes.c_float]
+                             ctypes.c_float, i32p]
     lib.nms_sort.restype = None
     lib.box_iou_matrix.argtypes = [f32p, f32p, f32p, ctypes.c_int64,
                                    ctypes.c_int64]
@@ -75,17 +76,21 @@ def _fptr(a: np.ndarray):
 
 
 def nms_sort_native(bbox: np.ndarray, prob: np.ndarray, objectness: np.ndarray,
-                    thresh: float) -> bool:
-    """In-place per-class NMS on ``prob``. Returns False if native lib missing."""
+                    thresh: float):
+    """In-place per-class NMS on ``prob``. Returns the reference's POST-NMS
+    array order (original det indices, int64) or None if the native lib is
+    missing."""
     lib = get_lib()
     if lib is None:
-        return False
+        return None
     bbox = np.ascontiguousarray(bbox, np.float32)
     objectness = np.ascontiguousarray(objectness, np.float32)
     assert prob.flags["C_CONTIGUOUS"] and prob.dtype == np.float32
+    order = np.empty(bbox.shape[0], np.int32)
     lib.nms_sort(_fptr(bbox), _fptr(prob), _fptr(objectness),
-                 bbox.shape[0], prob.shape[1], ctypes.c_float(thresh))
-    return True
+                 bbox.shape[0], prob.shape[1], ctypes.c_float(thresh),
+                 order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return order.astype(np.int64)
 
 
 def resize_hwc_native(im: np.ndarray, w: int, h: int):

@@ -154,8 +154,13 @@ class DetectionPipeline:
             return x
 
         def post(head_datas):
+            # host-NMS path: rows leave the device in DECODE order (the
+            # reference NMS's tie-break order — post/device_decode.py);
+            # device NMS keeps score order (its greedy walk needs it)
             packed = decode_and_compact_packed(list(head_datas),
-                                               head_specs, netw, neth, thresh, k)
+                                               head_specs, netw, neth, thresh,
+                                               k,
+                                               decode_order=not use_device_nms)
             if use_device_nms:
                 # NMS on chip (post/device_nms.py): the buffer leaves the device
                 # already suppressed. Suppression zeroes probs, which would hide

@@ -231,6 +231,23 @@ def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return np.where(union > 0, inter / union, 0.0)
 
 
+def _nms_compaction_order(objectness: np.ndarray):
+    """The reference's zero-objectness swap loop (box.c:299-309): scanning
+    from the front, each zero det swaps with the current end (the swapped-in
+    det is re-examined). Returns the full permutation (original det indices
+    in the reference's array order) and the live count."""
+    idx = np.arange(objectness.shape[0])
+    k = idx.size - 1
+    i = 0
+    while i <= k:
+        if objectness[idx[i]] == 0:
+            idx[i], idx[k] = idx[k], idx[i]
+            k -= 1
+        else:
+            i += 1
+    return idx, k + 1
+
+
 def do_nms_sort(dets: Detections, classes: int, thresh: float) -> Detections:
     """Per-class greedy NMS, in place on ``prob``
     (reference: do_nms_sort, src/box.c:296-328).
@@ -238,36 +255,56 @@ def do_nms_sort(dets: Detections, classes: int, thresh: float) -> Detections:
     Semantics: per class, walk detections in descending prob; a surviving box zeroes
     the class-prob of any later box with IoU > thresh. Zero-objectness detections are
     excluded entirely (the reference swaps them past the end first).
+
+    Tie order matches the reference exactly: glibc's qsort is a stable
+    mergesort (probed in tests/test_nms_tie_order.py) with a comparator that
+    returns 0 on equal probs (box.c:280-294), the swap-compaction loop sets
+    the pre-sort order, and each class's sort permutes the array the NEXT
+    class's stable sort sees (box.c:310-317 re-sorts the mutated array). On
+    tie-free workloads this reduces to independent per-class stable sorts;
+    on tie-degenerate ones (random weights emit thousands of exact-duplicate
+    probs) the surviving-box choice — and through transitive suppression the
+    detection COUNT — depends on it (found by the generative map fuzz:
+    detections_count 52207 vs 52209 on a 55k-box net).
+
+    Sets ``dets.nms_order``: original det indices in the reference's
+    POST-NMS array order (live permutation, then the compacted
+    zero-objectness tail) for consumers that must iterate like the
+    reference (map record insertion, print/draw tie order).
     """
     if dets.n == 0:
+        dets.nms_order = np.zeros(0, np.int64)
         return dets
     from ..native import nms_sort_native
     if dets.prob.flags["C_CONTIGUOUS"] and dets.prob.dtype == np.float32:
-        if nms_sort_native(dets.bbox, dets.prob, dets.objectness, thresh):
+        order = nms_sort_native(dets.bbox, dets.prob, dets.objectness, thresh)
+        if order is not None:
+            dets.nms_order = order
             return dets
-    live = dets.objectness != 0
-    idx_live = np.nonzero(live)[0]
-    bbox = dets.bbox[idx_live]
-    prob = dets.prob[idx_live]
-    # Only boxes with nonzero class-prob participate: zero-prob boxes are skipped as
-    # suppressors (``if prob[k]==0 continue``) and zeroing them again is a no-op, so
-    # restricting to the nonzero subset is exactly equivalent to the full loop.
-    any_nz = prob.max(axis=0) > 0 if prob.size else np.zeros(classes, bool)
-    iou_cache = None
-    for k in np.nonzero(any_nz)[0]:
-        nz = np.nonzero(prob[:, k] > 0)[0]
-        if nz.size == 0:
-            continue
+    idx, nl = _nms_compaction_order(dets.objectness)
+    live0 = idx[:nl].copy()          # initial live order (fixed IoU rows)
+    perm = live0.copy()              # evolves class by class
+    prob = dets.prob
+    row = np.full(dets.n, -1, np.int64)
+    row[live0] = np.arange(nl)
+    iou_cache = None                 # class-independent, built once
+    for k in range(classes):
+        col = prob[perm, k]
+        if not (col > 0).any():
+            continue                 # all keys equal: the sort is a no-op
+        perm = perm[np.argsort(-col, kind="stable")]
         if iou_cache is None:
-            iou_cache = box_iou(bbox, bbox)
-        order = nz[np.argsort(-prob[nz, k], kind="stable")]
-        for oi in range(order.size):
-            i = order[oi]
+            iou_cache = box_iou(dets.bbox[live0], dets.bbox[live0])
+        # descending sort puts positives in the prefix; zero-prob dets
+        # neither suppress nor change when re-zeroed
+        npos = int((prob[perm, k] > 0).sum())
+        for oi in range(npos):
+            i = perm[oi]
             if prob[i, k] == 0:
                 continue
-            rest = order[oi + 1:]
-            prob[rest[iou_cache[i, rest] > thresh], k] = 0.0
-    dets.prob[idx_live] = prob
+            rest = perm[oi + 1:npos]
+            prob[rest[iou_cache[row[i], row[rest]] > thresh], k] = 0.0
+    dets.nms_order = np.concatenate([perm, idx[nl:]])
     return dets
 
 
@@ -315,6 +352,20 @@ def do_nms(boxes: np.ndarray, probs: np.ndarray, classes: int,
                 probs[j, ~i_smaller] = 0.0
 
 
+def in_reference_order(dets: Detections) -> Detections:
+    """``dets`` permuted to the reference's POST-NMS array order
+    (``do_nms_sort``'s ``nms_order``). The reference's print/draw/map loops
+    all iterate the qsort-permuted array, so stable downstream sorts break
+    ties by THAT order, not decode order. Identity when NMS never ran
+    (decode order IS the reference order there — e.g. the device-NMS
+    extension path, whose probs arrive pre-suppressed)."""
+    order = getattr(dets, "nms_order", None)
+    if order is None or dets.n == 0:
+        return dets
+    return Detections(dets.bbox[order], dets.objectness[order],
+                      dets.prob[order])
+
+
 # ---------------------------------------------------------------------------
 # Text output (parity with draw_detections_v3 stdout, src/main.c:80-103)
 # ---------------------------------------------------------------------------
@@ -338,7 +389,9 @@ def format_detections(dets: Detections, names, thresh: float, im_w: int, im_h: i
                       ext_output: bool = True) -> str:
     """Reference print: best-class detections sorted by left edge; line
     ``name: P%\\t(left_x: ... top_y: ... width: ... height: ...)`` plus extra lines for
-    other classes above thresh (src/main.c:38-103)."""
+    other classes above thresh (src/main.c:38-103). The left-edge qsort is
+    stable, so equal-left boxes print in the POST-NMS array order."""
+    dets = in_reference_order(dets)
     lines = []
     best_class = np.full(dets.n, -1)
     best_prob = np.full(dets.n, thresh, np.float32)

@@ -111,10 +111,18 @@ def _decode_region(h, spec: RegionSpec, netw: int, neth: int, thresh: float):
 
 
 def decode_and_compact(heads, head_specs, netw: int, neth: int, thresh: float,
-                       k: int = 256):
+                       k: int = 256, decode_order: bool = False):
     """Decode all heads, zero sub-threshold probs, select top-k candidates by best
     class prob. Returns (boxes [B,k,4], objectness [B,k], probs [B,k,C],
-    valid_count [B])."""
+    valid_count [B]).
+
+    ``decode_order=True`` re-sorts the selected k rows by their DECODE index
+    (heads in network order, cells row-major, anchors inner) instead of
+    leaving them in top-k score order. The selected SET is identical; the
+    order matters for exact-prob ties downstream: the reference's host NMS
+    tie-breaks on the decode-order array (box.c:296-328 + stable glibc
+    qsort), so the host-NMS path wants rows in that order. Costs one [B,k]
+    argsort on device, no extra transfer."""
     parts = []
     for h, spec in zip(heads, head_specs):
         if isinstance(spec, YoloSpec):
@@ -130,19 +138,23 @@ def decode_and_compact(heads, head_specs, netw: int, neth: int, thresh: float,
     valid_count = jnp.sum((score > 0).astype(jnp.int32), axis=-1)
     k = min(k, score.shape[1])
     top_score, idx = jax.lax.top_k(score, k)             # [B,k]
+    if decode_order:
+        idx = jnp.sort(idx, axis=-1)                     # unique -> stable
     gather = jax.vmap(lambda a, i: a[i])
     return (gather(boxes, idx), gather(obj, idx), gather(probs, idx),
             valid_count)
 
 
 def decode_and_compact_packed(heads, head_specs, netw: int, neth: int,
-                              thresh: float, k: int = 256):
+                              thresh: float, k: int = 256,
+                              decode_order: bool = False):
     """Like decode_and_compact but returns ONE packed buffer
     [B, k, 4+1+classes] = (box, objectness, probs...) — a single small D2H transfer
     (relay/PCIe round trips are per-buffer). K-overflow is detectable on the host:
     all k slots having a nonzero prob means candidates may have been dropped."""
     boxes, obj, probs, _ = decode_and_compact(heads, head_specs, netw, neth,
-                                              thresh, k)
+                                              thresh, k,
+                                              decode_order=decode_order)
     return jnp.concatenate([boxes, obj[..., None], probs], axis=-1)
 
 
