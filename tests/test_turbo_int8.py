@@ -1,0 +1,114 @@
+"""turbo_int8 (``residual_dtype="int8"``): int8-materialized residual trunk.
+
+The mode quantizes trunk activations at the nearest downstream int8 conv's
+calibrated input multiplier and dequantizes in-register at every consumer
+(models/network.py). Its mAP-level bound is measured by
+tests/test_turbo_metric.py; here: the trunk-scale analysis, the numeric
+bound on a residual net, and the mode gates.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _setup(cfg, batch=1, seed=0):
+    from yolo2_light_tpu.cfg import parse_network_cfg
+    from yolo2_light_tpu.models.network import params_to_device
+    from yolo2_light_tpu.quant import quantize_params
+    from yolo2_light_tpu.weights import fuse_conv_batchnorm, random_params
+
+    spec = parse_network_cfg(cfg, batch=batch)
+    params = fuse_conv_batchnorm(spec, random_params(spec, seed=seed))
+    q = quantize_params(spec, params)
+    x = jnp.asarray(np.random.RandomState(seed).rand(
+        batch, spec.net.h, spec.net.w, spec.net.c).astype(np.float32))
+    return spec, params_to_device(q), x
+
+
+def _heads(spec, p, x, **kw):
+    from yolo2_light_tpu.models.network import build_forward
+    f = build_forward(spec, "int8", int8_policy="cpu", int8_chain=True, **kw)
+    return jax.jit(lambda p, x: tuple(h.data for h in f(p, x)[0]))(p, x)
+
+
+def test_trunk_targets_residual_net():
+    """On the residual mini net, every trunk layer (convs + shortcuts) maps
+    to the nearest downstream int8 conv; head-feeding layers stay float."""
+    from yolo2_light_tpu.cfg import ShortcutSpec, parse_network_cfg
+    from yolo2_light_tpu.models.network import (_int8_layer_set,
+                                                _trunk_targets)
+
+    spec = parse_network_cfg("tests/data/mini-res.cfg", batch=1)
+    iset = _int8_layer_set(spec, "cpu")
+    trunk = _trunk_targets(spec, iset)
+    shortcuts = [l.index for l in spec.layers if isinstance(l, ShortcutSpec)]
+    assert shortcuts, "fixture must contain shortcut layers"
+    for s in shortcuts[:-1]:
+        t = trunk[s]
+        assert t is not None and t in iset and t > s, (s, t)
+        # nearest in program order: no int8 conv strictly between s and t
+        assert not any(j in iset for j in range(s + 1, t)), (s, t)
+    # the last layers feed the head (LINEAR conv, not int8) — no trunk scale
+    assert trunk[spec.n - 1] is None
+
+
+def test_turbo_int8_bounded_vs_exact():
+    """Head outputs under the int8 residual trunk stay within a bounded
+    distance of the bit-exact int8 path (one quantize round trip per trunk
+    tensor at the consumer's own scale)."""
+    for cfg in ("tests/data/mini-res.cfg", "tests/data/mini-yolo3.cfg"):
+        spec, p, x = _setup(cfg)
+        exact = _heads(spec, p, x)
+        t8 = _heads(spec, p, x, residual_dtype="int8")
+        for a, b in zip(exact, t8):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(1e-6, float(np.abs(a).max()))
+            rel = np.abs(a - b).max() / scale
+            # random-weight calibration is the WORST case for this mode;
+            # real-weight deltas are quantified at the mAP level
+            # (tests/test_turbo_metric.py, tests/test_real_weights.py)
+            assert rel < 0.5, (cfg, rel)
+            # heads must agree on the bulk of entries
+            close = np.isclose(a, b, rtol=0.15, atol=0.05 * scale).mean()
+            assert close > 0.9, (cfg, close)
+
+
+def test_turbo_int8_through_pipeline():
+    """DetectionPipeline(turbo="int8") produces detections structurally
+    identical (same fields, plausible agreement) to the exact pipeline."""
+    from yolo2_light_tpu.cfg import parse_network_cfg
+    from yolo2_light_tpu.pipeline import DetectionPipeline
+    from yolo2_light_tpu.quant import quantize_params
+    from yolo2_light_tpu.weights import fuse_conv_batchnorm, random_params
+
+    spec = parse_network_cfg("tests/data/mini-res.cfg", batch=1)
+    params = fuse_conv_batchnorm(spec, random_params(spec, seed=1))
+    q = quantize_params(spec, params)
+    x = np.random.RandomState(1).rand(
+        1, spec.net.h, spec.net.w, spec.net.c).astype(np.float32)
+    exact = DetectionPipeline(spec, q, "int8", thresh=0.1, nms=0.4, k=64)(x)[0]
+    t8 = DetectionPipeline(spec, q, "int8", thresh=0.1, nms=0.4, k=64,
+                           turbo="int8")(x)[0]
+    assert t8.bbox.shape == exact.bbox.shape
+    assert t8.n > 0 and exact.n > 0
+
+
+def test_mode_gates():
+    from yolo2_light_tpu.cfg import parse_network_cfg
+    from yolo2_light_tpu.models.network import (build_forward,
+                                                resolve_residual_dtype)
+
+    spec = parse_network_cfg("tests/data/mini-res.cfg", batch=1)
+    with pytest.raises(ValueError, match="requires int8 mode"):
+        build_forward(spec, "fp32", residual_dtype="int8")
+    with pytest.raises(ValueError, match="unknown residual_dtype"):
+        build_forward(spec, "int8", residual_dtype="int4")
+    assert resolve_residual_dtype(False) is None
+    assert resolve_residual_dtype(True) == jnp.bfloat16
+    assert resolve_residual_dtype("bf16") == jnp.bfloat16
+    assert resolve_residual_dtype("int8") == "int8"
+    with pytest.raises(ValueError):
+        resolve_residual_dtype("fp8")

@@ -40,7 +40,12 @@ stage becomes a T-device model-axis mesh, S*T devices total),
 all conv/epilogue math stays f32 in-register; measured 0.420 -> 0.393 ms/img
 int8 and 0.588 -> 0.506 bf16 device-resident. NOT reference-exact: values at
 an int8 quantization-bin boundary can flip one bin, like -calib_method
-device; see PERF_NOTES.md round 3).
+device; see PERF_NOTES.md round 3),
+-turbo_int8 (with -quantized: the rung below -turbo — residual-trunk
+activations materialize as int8 at the consumer conv's calibrated input
+multiplier, 4x less HBM traffic than f32; math stays f32/int32 in-register
+and heads are f32. Bounded non-exact mode quantified at the mAP level by
+tests/test_turbo_metric.py; see models/network.py residual_dtype="int8").
 """
 
 from __future__ import annotations
@@ -164,6 +169,8 @@ def _main(argv=None) -> int:
     #                                   reference-exact video path; demo
     #                                   otherwise defaults to bf16 for speed)
     turbo = _find_flag(args, "-turbo")
+    if _find_flag(args, "-turbo_int8"):
+        turbo = "int8"   # the rung below -turbo: int8 residual trunk
     quantized = _find_flag(args, "-quantized")
     letterbox = _find_flag(args, "-letterbox")
     thresh = _find_value(args, "-thresh", 0.25, float)

@@ -113,6 +113,57 @@ def _quantize_i8(x, mult):
     return jnp.clip(jnp.trunc(x * mult), -127, 127).astype(jnp.int8)
 
 
+def _trunk_targets(spec: ModelSpec, int8_set: set) -> dict:
+    """int8-residual-trunk scale analysis (``residual_dtype="int8"``): for each
+    layer index, the NEAREST downstream int8 conv whose
+    ``input_quant_multipler`` scales this layer's materialized activation —
+    reachable through maxpool/route/reorg/upsample AND (unlike the bit-exact
+    chain analysis) shortcut layers, since the residual trunk is exactly the
+    tensors shortcuts keep alive. Multi-consumer ambiguity resolves to the
+    smallest target index (nearest in program order): the scale choice only
+    bounds the residual materialization error, it does not need the
+    uniqueness producer-side emission does. Reference precedent for an
+    int8-chained trunk: the old fully-int8 pipeline,
+    src/yolov2_forward_network_quantized.c:636-801."""
+    consumers = _consumers(spec)
+    targets: dict[int, object] = {}
+
+    def target_of(i: int):
+        if i in targets:
+            return targets[i]
+        targets[i] = None   # guard (consumers only point forward, but be safe)
+        wanted = set()
+        for c in consumers.get(i, []):
+            lc = spec.layers[c]
+            if isinstance(lc, ConvSpec):
+                if c in int8_set:
+                    wanted.add(c)
+            elif isinstance(lc, (MaxpoolSpec, RouteSpec, ReorgSpec,
+                                 UpsampleSpec, ShortcutSpec)):
+                t = target_of(c)
+                if t is not None:
+                    wanted.add(t)
+        targets[i] = min(wanted) if wanted else None
+        return targets[i]
+
+    for i in range(spec.n - 1, -1, -1):
+        target_of(i)
+    return targets
+
+
+def resolve_residual_dtype(turbo):
+    """Map the ``-turbo`` family flag to ``build_forward``'s residual_dtype:
+    False -> None, True/"bf16" -> jnp.bfloat16, "int8" -> "int8"."""
+    if not turbo:
+        return None
+    if turbo is True or turbo == "bf16":
+        return jnp.bfloat16
+    if turbo == "int8":
+        return "int8"
+    raise ValueError(f"unknown turbo mode {turbo!r} "
+                     "(expected False, True, 'bf16', or 'int8')")
+
+
 _FUSED_VMEM_BUDGET = 12 << 20   # leave ~4MB of the ~16MB core for temporaries
 
 
@@ -208,6 +259,17 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
     change (<= 1 bf16 ulp per materialized tensor, ~2-3 decimal digits kept).
     Head inputs are upcast back to f32 so decode math is unchanged.
 
+    ``residual_dtype="int8"`` (turbo_int8 — the rung below bf16, int8 mode
+    only): residual-trunk activations are materialized as int8 (4x smaller
+    than f32) at the nearest downstream int8 conv's calibrated input
+    multiplier (``_trunk_targets``); every consumer dequantizes in-register,
+    so shortcut adds and head math stay f32. The error model is one extra
+    quantize/dequantize round trip per materialized tensor at the SAME scale
+    the consumer conv would quantize at anyway — quantified at the mAP level
+    by tests/test_turbo_metric.py. Reference precedent: the old fully-int8
+    pipeline chains int8 activations between layers
+    (src/yolov2_forward_network_quantized.c:636-801).
+
     ``layer_range=(start, stop)`` (pipeline parallelism, parallel/pp.py):
     execute only ``spec.layers[start:stop]``. ``x`` is then the previous
     stage's running activation and ``forward`` takes a third argument
@@ -227,6 +289,21 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
     if mode == "int8" and int8_policy == "cpu_old":
         return build_forward_int8_old(spec)
     int8_set = _int8_layer_set(spec, int8_policy) if mode == "int8" else set()
+    int8_resid = False
+    if isinstance(residual_dtype, str):
+        if residual_dtype != "int8":
+            raise ValueError(f"unknown residual_dtype {residual_dtype!r}")
+        int8_resid = True
+    elif (residual_dtype is not None
+          and jnp.dtype(residual_dtype) == jnp.dtype(jnp.int8)):
+        int8_resid = True
+    if int8_resid:
+        if mode != "int8":
+            raise ValueError(
+                "residual_dtype='int8' (turbo_int8) requires int8 mode: the "
+                "trunk scales come from the conv input_quant_multipler values")
+        residual_dtype = None   # materialization handled by the resid_q sites
+    trunk = _trunk_targets(spec, int8_set) if int8_resid else {}
     chain = _int8_chain_targets(spec, int8_set) if (
         mode == "int8" and int8_chain) else {}
     # int8_impl="fused": residual stages run as one Pallas kernel with the
@@ -267,6 +344,31 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
             i8_outputs[i] = pair
             return pair
 
+        def resid_q(i, value):
+            """int8 residual-trunk materialization (residual_dtype="int8"):
+            the f32 epilogue value is quantized at the nearest downstream
+            int8 conv's input multiplier; the returned f32 view dequantizes
+            IN-REGISTER at every consumer, so the only tensor XLA
+            materializes between fusions is the 1-byte q.
+            Returns (f32 view, (q, target) | None)."""
+            t = trunk.get(i)
+            if t is None:
+                return value, None
+            m = params[t]["input_quant_multipler"]
+            q = _quantize_i8(value, m)
+            return q.astype(jnp.float32) * (1.0 / m), (q, t)
+
+        def finish_conv(i, value):
+            """Common conv epilogue: int8-residual materialization +
+            producer-side int8 emission. Returns (cur, cur_i8)."""
+            if not int8_resid:
+                return value, emit_i8(i, value)
+            view, pair = resid_q(i, value)
+            if pair is not None and chain.get(i) == pair[1]:
+                i8_outputs[i] = pair  # q IS the consumer's quantization
+                return view, pair
+            return view, emit_i8(i, view)
+
         body = (spec.layers if layer_range is None
                 else spec.layers[layer_range[0]: layer_range[1]])
         for l in body:
@@ -290,6 +392,10 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
                 if residual_dtype is not None:
                     cur = cur.astype(residual_dtype)
                 cur_i8 = None
+                if int8_resid:
+                    cur, cur_i8 = resid_q(run[-1][2], cur)
+                    if cur_i8 is not None:
+                        i8_outputs[run[-1][2]] = cur_i8
                 outputs[run[-1][2]] = cur   # interior outputs provably unused
                 continue
             if i in fused_skip:
@@ -333,7 +439,7 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
                         cur = L.conv2d_xnor(
                             cur, p["sign_weights"], p["mean_arr"], p["biases"],
                             l.stride, l.pad, l.activation)
-                    cur_i8 = emit_i8(i, cur)
+                    cur, cur_i8 = finish_conv(i, cur)
                 elif i in int8_set:
                     xi8 = (cur_i8[0] if cur_i8 is not None and cur_i8[1] == i
                            else None)
@@ -356,7 +462,7 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
                             p["weights_quant_multipler"],
                             semantics=int8_policy, x_int8=xi8,
                             out_dtype=residual_dtype)
-                    cur_i8 = emit_i8(i, cur)
+                    cur, cur_i8 = finish_conv(i, cur)
                 else:
                     bn = None
                     if "scales" in p:
@@ -366,7 +472,7 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
                                         compute_dtype=compute_dtype)
                     if residual_dtype is not None:
                         cur = cur.astype(residual_dtype)
-                    cur_i8 = emit_i8(i, cur)
+                    cur, cur_i8 = finish_conv(i, cur)
             elif isinstance(l, MaxpoolSpec):
                 # quantize commutes with max -> pool the int8 chain directly
                 if cur_i8 is not None and chain.get(i) == cur_i8[1]:
@@ -413,6 +519,13 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
                 # round 3)
                 cur_i8 = None
                 cur = L.shortcut(cur, outputs[l.from_index], l.activation)
+                if int8_resid:
+                    # turbo_int8: the shortcut output IS the residual trunk —
+                    # materialize it int8; the (q, target) pair doubles as
+                    # the downstream conv's pre-quantized input
+                    cur, cur_i8 = resid_q(i, cur)
+                    if cur_i8 is not None:
+                        i8_outputs[i] = cur_i8
             elif isinstance(l, YoloSpec):
                 cur_i8 = None
                 if residual_dtype is not None:
@@ -548,7 +661,7 @@ class Predictor:
         fwd = build_forward(spec, mode, int8_policy=int8_policy,
                             compute_dtype=compute_dtype, xnor_impl=xnor_impl,
                             int8_chain=int8_chain, int8_impl=int8_impl,
-                            residual_dtype=jnp.bfloat16 if turbo else None)
+                            residual_dtype=resolve_residual_dtype(turbo))
         # jit only carries arrays; head metadata (index/kind) is static and reattached
         self._head_meta = [(l.index, "yolo" if isinstance(l, YoloSpec) else "region")
                            for l in spec.layers

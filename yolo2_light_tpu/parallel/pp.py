@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 
 from ..cfg import ConvSpec, ModelSpec
-from ..models.network import _consumers, build_forward
+from ..models.network import (_consumers, build_forward,
+                              resolve_residual_dtype)
 
 
 def _bflops(l) -> float:
@@ -157,8 +158,7 @@ class PipelinedPredictor:
             fwd = build_forward(spec, mode, int8_policy=int8_policy,
                                 compute_dtype=compute_dtype,
                                 xnor_impl=xnor_impl, int8_impl=int8_impl,
-                                residual_dtype=(jnp.bfloat16 if turbo
-                                                else None),
+                                residual_dtype=resolve_residual_dtype(turbo),
                                 layer_range=(a, b),
                                 carry_out=self.carried_sets[s])
 

@@ -19,9 +19,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from .cfg import ModelSpec, RegionSpec, YoloSpec
-from .models.network import build_forward, params_to_device
+from .models.network import (build_forward, params_to_device,
+                             resolve_residual_dtype)
 from .post import boxes as post
 from .post.device_decode import decode_and_compact_packed
+
+
+def _fetch_packed(raw):
+    """D2H fetch of a packed candidate buffer, as ONE host transfer. Always
+    f32 on the host in production (any packed_dtype upcasts); a float64
+    buffer stays f64 — that only exists under the fuzz noise-confirmation
+    rerun (tests/fuzz_confirm.py), which needs full-precision host math."""
+    a = np.asarray(raw)
+    return a if a.dtype == np.float64 else a.astype(np.float32)
 
 
 def yuv420_to_rgb(x):
@@ -79,7 +89,7 @@ class DetectionPipeline:
         self._compute_dtype = compute_dtype
         self._xnor_impl = xnor_impl
         self._int8_impl = int8_impl
-        self._turbo = bool(turbo)
+        self._turbo = turbo   # False | True/"bf16" | "int8" (turbo_int8)
         self._mesh = mesh
         self._packed_dtype = packed_dtype
         self._pp_stages = int(pp_stages)
@@ -129,7 +139,7 @@ class DetectionPipeline:
         fwd = build_forward(spec, mode, int8_policy=int8_policy,
                             compute_dtype=compute_dtype, xnor_impl=xnor_impl,
                             int8_chain=True, int8_impl=int8_impl,
-                            residual_dtype=jnp.bfloat16 if turbo else None)
+                            residual_dtype=resolve_residual_dtype(turbo))
         netw, neth = spec.net.w, spec.net.h
         head_specs = self.head_specs
 
@@ -154,13 +164,14 @@ class DetectionPipeline:
             return x
 
         def post(head_datas):
-            # host-NMS path: rows leave the device in DECODE order (the
-            # reference NMS's tie-break order — post/device_decode.py);
-            # device NMS keeps score order (its greedy walk needs it)
+            # BOTH paths build the buffer in DECODE order (the reference
+            # NMS's tie-break order — post/device_decode.py): the host path
+            # runs do_nms_sort over it; device NMS seeds its carried-qsort
+            # permutation from it and returns rows already permuted to the
+            # reference's POST-NMS order (post/device_nms.py, round 5)
             packed = decode_and_compact_packed(list(head_datas),
                                                head_specs, netw, neth, thresh,
-                                               k,
-                                               decode_order=not use_device_nms)
+                                               k, decode_order=True)
             if use_device_nms:
                 # NMS on chip (post/device_nms.py): the buffer leaves the device
                 # already suppressed. Suppression zeroes probs, which would hide
@@ -256,7 +267,7 @@ class DetectionPipeline:
                 sw, sh = shp[2], shp[1]
             if (sw, sh) != (pipe.spec.net.w, pipe.spec.net.h):
                 im_sizes = [(sw, sh)] * shp[0]
-        packed = np.asarray(raw_dev).astype(np.float32)  # one D2H transfer
+        packed = _fetch_packed(raw_dev)        # one D2H transfer
         if pipe._saturated(packed) and pipe.k < pipe._max_k:
             grown = pipe._grow_and_promote()
             return grown(images, im_sizes)
@@ -357,7 +368,7 @@ class DetectionPipeline:
                 sw, sh = shp[2], shp[1]
             if (sw, sh) != (self.spec.net.w, self.spec.net.h):
                 im_sizes = [(sw, sh)] * shp[0]
-        packed = np.asarray(raw).astype(np.float32)  # one D2H transfer
+        packed = _fetch_packed(raw)            # one D2H transfer
         if self._saturated(packed) and self.k < self._max_k:
             grown = self._grow_and_promote()
             return grown.serve_scan(frames, im_sizes)
@@ -408,14 +419,22 @@ class DetectionPipeline:
         already in flight at the old K re-run individually if they also
         saturated. Size ``k`` up front to avoid the re-run cost.
         """
+        import threading
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
+        # At most ONE old-K in-flight batch re-runs at a time: several
+        # concurrent full forwards on worker threads starve the in-flight
+        # relay transfers ~25x on this 1-core host (CLAUDE.md starvation
+        # gotcha; round-4 advisor finding).
+        rerun_lock = threading.Lock()
+
         def finish_batch(pipe, packed_dev, sizes, xb):
-            packed = np.asarray(packed_dev).astype(np.float32)
+            packed = _fetch_packed(packed_dev)
             if pipe._saturated(packed) and pipe.k < pipe._max_k:
                 grown = pipe._grow_and_promote()
-                return grown(xb, sizes)
+                with rerun_lock:
+                    return grown(xb, sizes)
             return pipe._finish_batch(packed, sizes)
 
         it = iter(batches)
@@ -458,11 +477,14 @@ class DetectionPipeline:
             print(f"warning: candidate buffer K={self.k} saturated; "
                   "some detections may be dropped (raise k)", file=sys.stderr)
         boxes, obj, probs = boxes[keep], obj[keep], probs[keep]
-        boxes = post.correct_boxes(boxes.astype(np.float32), w, h,
+        # dtype follows the packed buffer: f32 in production; f64 only under
+        # packed_dtype=float64 (the fuzz noise-confirmation map rerun)
+        dt = np.float64 if packed_i.dtype == np.float64 else np.float32
+        boxes = post.correct_boxes(boxes.astype(dt), w, h,
                                    self.spec.net.w, self.spec.net.h,
                                    relative=True, letter=self.letter)
-        dets = post.Detections(boxes.astype(np.float32), obj.astype(np.float32),
-                               probs.astype(np.float32))
+        dets = post.Detections(boxes.astype(dt), obj.astype(dt),
+                               probs.astype(dt))
         if self.nms and not self.device_nms:
             post.do_nms_sort(dets, self.classes, self.nms)
         return dets
