@@ -2,6 +2,7 @@
 
 import os
 
+import jax.numpy as jnp
 import numpy as np
 
 from yolo2_light_tpu.cfg import parse_network_cfg
@@ -79,9 +80,9 @@ def _pipe_pair(cfg_name, batch, seed, **kw):
 def _assert_same(host_dets, dev_dets):
     """Same surviving detections AS A SET. The host path keeps suppressed
     rows with zeroed probs (reference semantics: do_nms_sort edits in place)
-    and its rows arrive in DECODE order (the reference NMS tie-break order,
-    post/device_decode.decode_order); the device path drops suppressed rows
-    and keeps top-k score order — row order is not part of the contract."""
+    in DECODE order; the device path drops suppressed rows and arrives
+    pre-permuted to the post-NMS reference order. Order equality is pinned
+    separately by test_device_nms_tie_order_matches_host_qsort_carry."""
     def visible_sorted(d):
         m = d.prob.max(-1) > 0
         rows = np.concatenate([d.bbox[m], d.prob[m]], axis=1)
@@ -200,3 +201,31 @@ def test_device_nms_stream_saturation_autogrow(capsys):
     # stream batches must converge exactly to the big-buffer result
     for batch in outs:
         assert batch[0].n == d_big.n
+
+
+def test_device_nms_tie_order_matches_host_qsort_carry():
+    """Round-5 parity closure: on EXACT-prob ties the device NMS must pick
+    the same survivors AND emit rows in the same post-NMS array order as the
+    host do_nms_sort (whose qsort permutation carries class to class,
+    box.c:310-317). Quantized probs + clustered boxes make thousands of exact
+    ties; any independent-per-class sort order fails this."""
+    from yolo2_light_tpu.post.device_nms import nms_packed
+
+    rng = np.random.RandomState(123)
+    k, classes = 160, 6
+    boxes, probs = _random_candidates(rng, k, classes)
+    probs = (np.round(probs * 8) / 8).astype(np.float32)   # exact ties galore
+    assert len(np.unique(probs[probs > 0])) < 8             # really degenerate
+
+    host = post.Detections(boxes.copy(), np.ones(k, np.float32), probs.copy())
+    post.do_nms_sort(host, classes, 0.45)
+
+    packed = np.concatenate(
+        [boxes, np.ones((k, 1), np.float32), probs], axis=1)[None]
+    out = np.asarray(nms_packed(jnp.asarray(packed), 0.45))[0]
+
+    order = host.nms_order
+    np.testing.assert_array_equal(out[:, :4], boxes[order])
+    np.testing.assert_array_equal(out[:, 5:], host.prob[order])
+    # the suppression really did something and ties exist among survivors
+    assert (host.prob[probs > 0] == 0).any()

@@ -70,3 +70,35 @@ def test_do_nms_parity(harness, tmp_path, seed, total, classes):
     ours = probs.copy()
     do_nms(boxes, ours, classes, 0.45)
     np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_do_nms_sort_uncached_iou_path_matches_cached(monkeypatch):
+    """The numpy fallback's IoU-matrix cap (_IOU_CACHE_MAX_ROWS, mirroring
+    native/nms.cpp's 16384-row bitset cap): above it rows are computed on
+    the fly — results must be identical to the cached path, including
+    nms_order, on a tie-heavy workload."""
+    from yolo2_light_tpu.post import boxes as B
+
+    rng = np.random.RandomState(11)
+    n, classes = 400, 5
+    bbox = np.stack([rng.rand(n), rng.rand(n),
+                     rng.uniform(0.1, 0.6, n), rng.uniform(0.1, 0.6, n)],
+                    axis=-1).astype(np.float32)
+    obj = (rng.rand(n) > 0.1).astype(np.float32) * rng.rand(n).astype(np.float32)
+    # quantized probs -> plenty of exact ties
+    prob = (np.round(rng.rand(n, classes) * 8) / 8).astype(np.float32)
+    prob[obj == 0] = 0
+
+    def run(cap):
+        monkeypatch.setattr(B, "_IOU_CACHE_MAX_ROWS", cap)
+        # force the numpy fallback: non-contiguous prob skips the native lib
+        d = B.Detections(bbox.copy(), obj.copy(),
+                         np.asfortranarray(prob.copy()))
+        B.do_nms_sort(d, classes, 0.45)
+        return d
+
+    a = run(1 << 20)   # cached matrix
+    b = run(1)         # on-the-fly rows
+    np.testing.assert_array_equal(a.prob, b.prob)
+    np.testing.assert_array_equal(a.nms_order, b.nms_order)
+    assert (a.prob == 0).sum() > (prob == 0).sum()   # NMS actually suppressed

@@ -102,9 +102,13 @@ def get_yolo_detections(head: np.ndarray, mask, anchors, classes: int,
     probs = head[..., 5:].reshape(lh * lw, n, classes)[cells, anchs]
     probs = probs * objectness[:, None]
     probs[probs <= thresh] = 0.0
-    bbox = correct_boxes(bbox.astype(np.float32), w, h, netw, neth, relative, letter)
-    return Detections(bbox.astype(np.float32), objectness.astype(np.float32),
-                      probs.astype(np.float32))
+    # dtype follows the head: f32 everywhere in production; an f64 head keeps
+    # f64 through correct_boxes/NMS/print (the fuzz noise-confirmation
+    # oracle, tests/fuzz_confirm.py)
+    dt = np.float64 if head.dtype == np.float64 else np.float32
+    bbox = correct_boxes(bbox.astype(dt), w, h, netw, neth, relative, letter)
+    return Detections(bbox.astype(dt), objectness.astype(dt),
+                      probs.astype(dt))
 
 
 def get_region_detections(head: np.ndarray, anchors, classes: int, coords: int,
@@ -169,10 +173,11 @@ def get_region_detections(head: np.ndarray, anchors, classes: int, coords: int,
     # order: cell-major, anchor inner (index = cell*n + anchor) ✔
     bbox = np.stack([bx, by, bw, bh], axis=-1).reshape(lh * lw * n, 4)
     probs = probs.reshape(lh * lw * n, classes)
-    objectness = np.ones(lh * lw * n, np.float32)
-    bbox = correct_boxes(bbox.astype(np.float32), w, h, netw, neth, relative, letter)
-    return Detections(bbox.astype(np.float32), objectness,
-                      probs.astype(np.float32))
+    dt = np.float64 if head.dtype == np.float64 else np.float32  # see yolo path
+    objectness = np.ones(lh * lw * n, dt)
+    bbox = correct_boxes(bbox.astype(dt), w, h, netw, neth, relative, letter)
+    return Detections(bbox.astype(dt), objectness,
+                      probs.astype(dt))
 
 
 def get_network_boxes(head_outputs, head_specs, w: int, h: int,
@@ -231,6 +236,12 @@ def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return np.where(union > 0, inter / union, 0.0)
 
 
+# cache the nl x nl IoU matrix only up to this many live rows (matches
+# native/nms.cpp's 16384-row adjacency-bitset cap); beyond it, rows are
+# computed on the fly — O(nl) memory instead of O(nl^2)
+_IOU_CACHE_MAX_ROWS = 16384
+
+
 def _nms_compaction_order(objectness: np.ndarray):
     """The reference's zero-objectness swap loop (box.c:299-309): scanning
     from the front, each zero det swaps with the current end (the swapped-in
@@ -287,13 +298,17 @@ def do_nms_sort(dets: Detections, classes: int, thresh: float) -> Detections:
     prob = dets.prob
     row = np.full(dets.n, -1, np.int64)
     row[live0] = np.arange(nl)
+    # The cached nl x nl matrix is O(nl^2) f32 — the tie-degenerate fuzz nets
+    # reach ~55k live dets (~12 GB). Mirror the native path's cap
+    # (native/nms.cpp): above it, IoU rows are computed on the fly instead.
+    use_cache = nl <= _IOU_CACHE_MAX_ROWS
     iou_cache = None                 # class-independent, built once
     for k in range(classes):
         col = prob[perm, k]
         if not (col > 0).any():
             continue                 # all keys equal: the sort is a no-op
         perm = perm[np.argsort(-col, kind="stable")]
-        if iou_cache is None:
+        if use_cache and iou_cache is None:
             iou_cache = box_iou(dets.bbox[live0], dets.bbox[live0])
         # descending sort puts positives in the prefix; zero-prob dets
         # neither suppress nor change when re-zeroed
@@ -303,7 +318,11 @@ def do_nms_sort(dets: Detections, classes: int, thresh: float) -> Detections:
             if prob[i, k] == 0:
                 continue
             rest = perm[oi + 1:npos]
-            prob[rest[iou_cache[row[i], row[rest]] > thresh], k] = 0.0
+            if use_cache:
+                ious = iou_cache[row[i], row[rest]]
+            else:
+                ious = box_iou(dets.bbox[i: i + 1], dets.bbox[rest])[0]
+            prob[rest[ious > thresh], k] = 0.0
     dets.nms_order = np.concatenate([perm, idx[nl:]])
     return dets
 
@@ -357,8 +376,9 @@ def in_reference_order(dets: Detections) -> Detections:
     (``do_nms_sort``'s ``nms_order``). The reference's print/draw/map loops
     all iterate the qsort-permuted array, so stable downstream sorts break
     ties by THAT order, not decode order. Identity when NMS never ran
-    (decode order IS the reference order there — e.g. the device-NMS
-    extension path, whose probs arrive pre-suppressed)."""
+    (decode order IS the reference order there) and on the device-NMS path,
+    whose rows arrive pre-suppressed AND pre-permuted: the chip computes the
+    carried-qsort permutation itself (post/device_nms.py, round 5)."""
     order = getattr(dets, "nms_order", None)
     if order is None or dets.n == 0:
         return dets
@@ -394,7 +414,8 @@ def format_detections(dets: Detections, names, thresh: float, im_w: int, im_h: i
     dets = in_reference_order(dets)
     lines = []
     best_class = np.full(dets.n, -1)
-    best_prob = np.full(dets.n, thresh, np.float32)
+    best_prob = np.full(dets.n, thresh,
+                        dets.prob.dtype if dets.n else np.float32)
     for j in range(dets.prob.shape[1]):
         better = dets.prob[:, j] > best_prob
         best_class[better] = j

@@ -12,9 +12,17 @@ Semantics notes (each matches the host oracle in post/boxes.py):
   suppresses others. The loop runs over sorted positions (one ``fori_loop`` step
   per rank, all classes in parallel) — O(K) steps of [C, K] vector work after one
   [K, K] IoU matrix, instead of the reference's per-class scalar loops.
-* Sorting is stable descending (``jnp.argsort`` is stable), so equal-prob ties
-  resolve to candidate-buffer order — the same rule as the host path applied to
-  the same compacted buffer.
+* Tie order is qsort-CARRY exact (round-5: the last residual parity class):
+  the reference re-sorts the SAME array class after class (box.c:310-317), so
+  class c's stable sort tie-breaks on the permutation classes 0..c-1 left
+  behind. Crucially every sort key is an ORIGINAL prob — class c's walk
+  zeroes only column c, after its own sort, and no later class re-sorts on
+  column c — so the whole permutation chain is computable UPFRONT (one
+  ``lax.scan`` of stable argsorts) and the per-class walks stay parallel.
+  Given rows in the reference's pre-NMS array order
+  (``decode_and_compact(decode_order=True)``), the surviving set AND the
+  post-NMS array order (``perm`` below) match the host path on exact-prob
+  ties, not just on tie-free workloads.
 * NMS here runs BEFORE `correct_boxes` (the reference corrects first,
   src/additionally.c:4403-4407). The letterbox correction is a per-axis affine
   scale, under which axis-aligned intersection and union areas scale by the same
@@ -48,19 +56,30 @@ def pairwise_iou(boxes):
     return jnp.where(union > 0, inter / union, 0.0)
 
 
-def nms_probs(boxes, probs, thresh: float):
+def nms_probs_with_order(boxes, probs, thresh: float):
     """Greedy per-class NMS over one image's candidates.
 
-    ``boxes``: [K,4]; ``probs``: [K,C]. Returns probs with suppressed entries
-    zeroed (identical to do_nms_sort run on the same candidate order).
+    ``boxes``: [K,4]; ``probs``: [K,C]. Returns ``(probs, perm)``: probs with
+    suppressed entries zeroed, in the ORIGINAL row order (do_nms_sort's
+    in-place semantics), and ``perm`` = the reference's post-NMS array order
+    (original row indices after the last class's qsort — what
+    ``Detections.nms_order`` is on the host path).
     """
     k, c = probs.shape
     iou = pairwise_iou(boxes)
-    # order[cls, t] = candidate index at sorted position t (descending prob,
-    # stable); rank = inverse permutation: rank[cls, j] = sorted position of j
+    # order[cls, t] = candidate index at sorted position t. The carried-qsort
+    # chain (module docstring): class c's order = stable descending sort of
+    # the order class c-1 left behind. All keys are original probs, so one
+    # scan over class columns yields every walk order and the final perm.
     sorted_desc = -jnp.sort(-probs, axis=0)      # [K,C] per-class descending
-    order = jnp.argsort(-probs, axis=0).T
-    rank = jnp.argsort(order, axis=1)
+
+    def sort_step(perm, p_col):
+        new = perm[jnp.argsort(-p_col[perm], stable=True)]
+        return new, new
+
+    perm, order = jax.lax.scan(sort_step, jnp.arange(k, dtype=jnp.int32),
+                               probs.T)
+    rank = jnp.argsort(order, axis=1)  # rank[cls, j] = sorted position of j
     class_ix = jnp.arange(c)
     over = iou > thresh
     # ranks past the last nonzero prob (in EVERY class) are padding/sub-threshold
@@ -87,13 +106,27 @@ def nms_probs(boxes, probs, thresh: float):
         return t + 1, jnp.where(suppress.T, jnp.zeros((), probs_work.dtype),
                                 probs_work)
 
-    return jax.lax.while_loop(cond, body, (jnp.int32(0), probs))[1]
+    out = jax.lax.while_loop(cond, body, (jnp.int32(0), probs))[1]
+    return out, perm
 
 
-def nms_packed(packed, thresh: float):
-    """Apply :func:`nms_probs` to a packed [B, K, 4+1+classes] candidate buffer
-    (columns: box(4), objectness, probs...). Returns the buffer with suppressed
-    probs zeroed; boxes/objectness pass through untouched."""
-    new_probs = jax.vmap(lambda b, p: nms_probs(b, p, thresh))(
-        packed[..., :4], packed[..., 5:])
-    return jnp.concatenate([packed[..., :5], new_probs], axis=-1)
+def nms_probs(boxes, probs, thresh: float):
+    """:func:`nms_probs_with_order` without the permutation (suppressed probs
+    only, original row order)."""
+    return nms_probs_with_order(boxes, probs, thresh)[0]
+
+
+def nms_packed(packed, thresh: float, reorder: bool = True):
+    """Apply the NMS to a packed [B, K, 4+1+classes] candidate buffer
+    (columns: box(4), objectness, probs...). Returns the buffer with
+    suppressed probs zeroed. With ``reorder`` (default) rows additionally
+    leave in the reference's POST-NMS array order (the host path's
+    ``nms_order``), so downstream print/draw/map-insertion loops iterate the
+    buffer exactly like the reference iterates its qsort-permuted array —
+    given the buffer was built with ``decode_order=True``."""
+    def one(rows, b, p):
+        new_probs, perm = nms_probs_with_order(b, p, thresh)
+        out = jnp.concatenate([rows[..., :5], new_probs], axis=-1)
+        return out[perm] if reorder else out
+
+    return jax.vmap(one)(packed, packed[..., :4], packed[..., 5:])
