@@ -13,6 +13,13 @@ Activation:
   of COCO val images with ``labels/*.txt`` ground truth) additionally
   activates the mAP regime checks.
 
+The PLUMBING is not latent: ``test_synthetic_fullsize_plumbing`` writes a
+random darknet-format ``yolov3.weights`` at real dimensions (the format of
+src/additionally.c:3491-3529), exercises the discovery -> 248MB load ->
+regime flags -> mAP harness end-to-end every slow-suite run, asserting
+everything except the numeric floors (meaningless on random weights). Only
+the floor asserts remain latent.
+
 See README "Validating with real weights" for the exact recipe.
 """
 
@@ -41,29 +48,8 @@ needs_coco = pytest.mark.skipif(
     WEIGHTS is None or not (COCO_DATA and os.path.exists(COCO_DATA)),
     reason="set YOLO2_TPU_COCO_DATA to a .data file with a COCO valid= list")
 
-
-@needs_weights
-@pytest.mark.slow
-def test_dog_detections_real_weights():
-    """The canonical dog.jpg scene: dog + bicycle + truck at high confidence
-    (the reference README's headline example)."""
-    from yolo2_light_tpu.apps.detect import build_predictor, detect_image
-    from yolo2_light_tpu.datacfg import load_names
-    from yolo2_light_tpu.post import boxes as post
-
-    names = load_names(os.path.join(REF_BIN, "coco.names"))
-    cfg = os.path.join(REF_BIN, "yolov3.cfg")
-    spec, pred = build_predictor(cfg, WEIGHTS)
-    dets, im, _ = detect_image(pred, spec, os.path.join(REF_BIN, "dog.jpg"),
-                               0.24, 0.4, names)
-    text = post.format_detections(dets, names, 0.24, im.shape[1], im.shape[0])
-    found = {line.split(":")[0] for line in text.splitlines() if ":" in line}
-    assert {"dog", "bicycle", "truck"} <= found, text
-
-
-@needs_coco
-@pytest.mark.slow
-@pytest.mark.parametrize("quantized,policy,turbo,floor", [
+# shared regime table: (quantized, int8_policy, turbo, real-weights mAP floor)
+MAP_REGIMES = [
     (False, "cpu", False, 0.53),  # FP32 baseline (~55% on COCO val5k)
     (True, "gpu", False, 0.51),   # reference records 53.60% (head convs FP32)
     (True, "cpu", False, 0.43),   # reference records 45.61% (fully quantized)
@@ -72,14 +58,124 @@ def test_dog_detections_real_weights():
     # random-weight harness its metric delta is smaller than the int8<->fp32
     # mode difference (tests/test_turbo_metric.py, PERF_NOTES.md)
     (True, "cpu", True, 0.43),
-])
-def test_map_regimes_real_weights(quantized, policy, turbo, floor):
+    # -turbo_int8 (int8-materialized residual trunk, math f32/int32
+    # in-register): one extra quantize round trip per trunk tensor at the
+    # consumer conv's own calibrated scale; mAP-level bound measured by
+    # tests/test_turbo_metric.py's turbo_int8 row
+    (True, "cpu", "int8", 0.41),
+]
+
+
+def run_dog_smoke(weights):
+    """The canonical dog.jpg scene through the full detect app chain.
+    Returns (found class-name set, printed detection text)."""
+    from yolo2_light_tpu.apps.detect import build_predictor, detect_image
+    from yolo2_light_tpu.datacfg import load_names
+    from yolo2_light_tpu.post import boxes as post
+
+    names = load_names(os.path.join(REF_BIN, "coco.names"))
+    cfg = os.path.join(REF_BIN, "yolov3.cfg")
+    spec, pred = build_predictor(cfg, weights)
+    dets, im, _ = detect_image(pred, spec, os.path.join(REF_BIN, "dog.jpg"),
+                               0.24, 0.4, names)
+    text = post.format_detections(dets, names, 0.24, im.shape[1], im.shape[0])
+    found = {line.split(":")[0] for line in text.splitlines() if ":" in line}
+    return found, text
+
+
+def run_map_regime(data, weights, quantized, policy, turbo, thresh=0.005,
+                   cfgfile=None, **kw):
+    """One mAP regime through the full map app chain. Returns the result dict."""
     from yolo2_light_tpu.apps.map import validate_detector_map
 
-    cfg = os.path.join(REF_BIN, "yolov3.cfg")
-    res = validate_detector_map(COCO_DATA, cfg, WEIGHTS, thresh=0.005,
-                                quantized=quantized, int8_policy=policy,
-                                turbo=turbo, iou_thresh=0.5)
+    cfg = cfgfile or os.path.join(REF_BIN, "yolov3.cfg")
+    return validate_detector_map(data, cfg, weights, thresh=thresh,
+                                 quantized=quantized, int8_policy=policy,
+                                 turbo=turbo, iou_thresh=0.5, **kw)
+
+
+@needs_weights
+@pytest.mark.slow
+def test_dog_detections_real_weights():
+    """The canonical dog.jpg scene: dog + bicycle + truck at high confidence
+    (the reference README's headline example)."""
+    found, text = run_dog_smoke(WEIGHTS)
+    assert {"dog", "bicycle", "truck"} <= found, text
+
+
+@needs_coco
+@pytest.mark.slow
+@pytest.mark.parametrize("quantized,policy,turbo,floor", MAP_REGIMES)
+def test_map_regimes_real_weights(quantized, policy, turbo, floor):
+    res = run_map_regime(COCO_DATA, WEIGHTS, quantized, policy, turbo)
     assert res["mAP"] >= floor, (
         f"mAP {res['mAP']:.4f} below the recorded reference regime "
         f"(src/additionally.c:3995-4002)")
+
+
+@pytest.mark.slow
+def test_synthetic_fullsize_plumbing(tmp_path, monkeypatch):
+    """Round-5 item: the latent suite above must be latent ONLY in its numeric
+    floors. This writes a random darknet-format .weights at REAL yolov3
+    dimensions (header + per-conv biases/BN/weights exactly as
+    src/additionally.c:3491-3529 reads them), a 2-image COCO-style dataset,
+    and drives discovery -> full-size load -> every regime flag combination ->
+    the mAP harness through the SAME helpers the real-weights tests use."""
+    import numpy as np
+    from PIL import Image
+
+    from yolo2_light_tpu.cfg import parse_network_cfg
+    from yolo2_light_tpu.weights import random_params, save_weights
+
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    cfg = os.path.join(REF_BIN, "yolov3.cfg")
+    spec = parse_network_cfg(cfg, batch=1)
+    wp = str(wdir / "yolov3.weights")
+    save_weights(spec, random_params(spec, seed=7), wp)
+    assert os.path.getsize(wp) > 200 << 20   # real yolov3 scale (~236 MB)
+
+    # discovery: YOLO2_TPU_WEIGHTS resolves to the synthetic file
+    monkeypatch.setenv("YOLO2_TPU_WEIGHTS", str(wdir))
+    assert _find_weights() == wp
+
+    # dog.jpg smoke through the full app chain (content asserts are the
+    # latent part — random weights detect nothing meaningful)
+    found, text = run_dog_smoke(wp)
+    assert isinstance(text, str) and isinstance(found, set)
+
+    # 2-image COCO-style dataset with plausible ground truth
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(2):
+        arr = (rng.rand(416, 416, 3) * 255).astype(np.uint8)
+        p = str(tmp_path / "images" / f"im{i}.png")
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+        with open(tmp_path / "labels" / f"im{i}.txt", "w") as f:
+            f.write("1 0.5 0.5 0.25 0.25\n11 0.3 0.7 0.1 0.2\n")
+    (tmp_path / "valid.txt").write_text("\n".join(paths) + "\n")
+    names = tmp_path / "coco.names"
+    names.write_text("".join(f"c{i}\n" for i in range(80)))
+    data = str(tmp_path / "d.data")
+    open(data, "w").write(f"classes=80\nvalid={tmp_path}/valid.txt\n"
+                          f"names={names}\n")
+
+    # every regime row end-to-end over the SAME 236MB weights through a
+    # 128px copy of the cfg: the spatial dims don't touch the weights format
+    # or any regime flag plumbing, but cut five full-size 1-core-CPU XLA
+    # compiles (~5 min each — the first revision of this test blew a 50 min
+    # budget) down to ~1 min total. The 416px app chain is covered by the
+    # dog smoke above. Floors replaced by structural asserts (thresh raised:
+    # random full-size weights at 0.005 flood the NMS).
+    cfg128 = str(tmp_path / "yolov3-128.cfg")
+    with open(cfg128, "w") as f:
+        f.write(open(cfg).read().replace("width=416", "width=128")
+                .replace("height=416", "height=128"))
+    for quantized, policy, turbo, _floor in MAP_REGIMES:
+        res = run_map_regime(data, wp, quantized, policy, turbo,
+                             thresh=0.6, batch=2, cfgfile=cfg128)
+        assert set(res) >= {"mAP", "precision", "recall", "f1", "tp"}, res
+        assert 0.0 <= res["mAP"] <= 1.0
