@@ -40,7 +40,8 @@ def validate_detector_map(datacfg: str, cfgfile: str, weightfile, *,
                           device_nms: bool = False,
                           turbo: bool = False,
                           int8_impl: str = "xla",
-                          pipeline_parallel: int = 0, pp_tp: int = 1) -> dict:
+                          pipeline_parallel: int = 0, pp_tp: int = 1,
+                          packed_dtype=None) -> dict:
     import jax.numpy as jnp
 
     options = read_data_cfg(datacfg)
@@ -70,7 +71,9 @@ def validate_detector_map(datacfg: str, cfgfile: str, weightfile, *,
                              mesh=mesh, device_nms=device_nms, turbo=turbo,
                              int8_impl=int8_impl,
                              pp_stages=pp, pp_tp=pp_tp,
-                             pp_microbatch=max(1, batch // max(1, pp)))
+                             pp_microbatch=max(1, batch // max(1, pp)),
+                             **({"packed_dtype": packed_dtype}
+                                if packed_dtype is not None else {}))
     classes = pipe.classes
 
     with open(valid_images) as f:

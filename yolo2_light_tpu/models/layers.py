@@ -97,14 +97,18 @@ def conv2d_fp32(x, weights, biases, stride: int, pad: int, activation: str,
     ``compute_dtype=float32`` runs the MXU at full fp32 precision (Precision.HIGHEST;
     XLA's DEFAULT would silently drop to bf16 passes — wrong for darknet parity).
     ``compute_dtype=bfloat16`` is the fast MXU path (accumulate f32).
+    ``compute_dtype=float64`` (x64 mode, CPU) accumulates f64 — the fuzz
+    noise-confirmation oracle (tests/fuzz_cfgs.py), not a serving mode.
     """
     xc = x.astype(compute_dtype)
     wc = weights.astype(compute_dtype)
-    precision = (lax.Precision.HIGHEST if compute_dtype == jnp.float32
-                 else lax.Precision.DEFAULT)
+    precision = (lax.Precision.DEFAULT if compute_dtype == jnp.bfloat16
+                 else lax.Precision.HIGHEST)
+    acc_dtype = (jnp.float64 if compute_dtype == jnp.float64
+                 else jnp.float32)
     y = lax.conv_general_dilated(
         xc, wc, (stride, stride), [(pad, pad), (pad, pad)],
-        dimension_numbers=_DIMNUMS, preferred_element_type=jnp.float32,
+        dimension_numbers=_DIMNUMS, preferred_element_type=acc_dtype,
         precision=precision)
     if bn is not None:
         scales, rolling_mean, rolling_variance = bn
