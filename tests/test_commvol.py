@@ -15,7 +15,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from yolo2_light_tpu.parallel.commvol import (collective_volumes,
                                               pp_boundary_bytes, wire_bytes)
@@ -37,7 +37,7 @@ def test_extractor_all_gather_bytes():
         def body(x):
             return jax.lax.all_gather(x, "x", axis=0, tiled=True)
         return shard_map(body, mesh=mesh, in_specs=P("x"), out_specs=P(),
-                         check_rep=False)(x)
+                         check_vma=False)(x)
 
     vols = collective_volumes(jax.jit(f).lower(x).compile().as_text())
     assert "all-gather" in vols, vols
