@@ -13,11 +13,17 @@ Wall-clock policy:
   * Backend init gets its own budget (YOLO2_BENCH_INIT_BUDGET, default 2700 s)
     because relay wedges recover in ~5-30 min (CLAUDE.md) and a wedge at
     capture time must not cost the round its metric.
-  * Once the device is up, measurement gets YOLO2_BENCH_DEADLINE (default
-    1200 s). Each secondary is skipped outright when the remaining window is
-    smaller than its floor, and is abandoned via a daemon-thread timeout
-    bounded by the remaining window, so the final (already-emitted) JSON
-    line is never at risk.
+  * The PRIMARY gets its own budget too (YOLO2_BENCH_PRIMARY_BUDGET, default
+    2400 s, per-attempt cap 1800 s): a cold-cache full-net compile through
+    the remote-compile relay has measured >900 s under congestion
+    (2026-08-20: attempt 1 at 900 s + attempt 2 at the deadline's 270 s
+    leftover both starved — the one number the round MUST capture cannot
+    share the secondaries' window).
+  * The secondaries' deadline (YOLO2_BENCH_DEADLINE, default 1200 s) starts
+    AFTER the primary line is emitted. Each secondary is skipped outright
+    when the remaining window is smaller than its floor, and is abandoned
+    via a daemon-thread timeout bounded by the remaining window, so the
+    final (already-emitted) JSON line is never at risk.
   * YOLO2_BENCH_WEDGE=<section> simulates a relay wedge inside that section
     (used by tests/test_bench_emit.py to prove a wedged run still yields a
     parsed line inside a driver-budget window).
@@ -72,6 +78,8 @@ FAST = os.environ.get("YOLO2_BENCH_FAST") == "1"
 WEDGE = os.environ.get("YOLO2_BENCH_WEDGE", "")
 INIT_BUDGET = float(os.environ.get("YOLO2_BENCH_INIT_BUDGET",
                                    "60" if FAST else "2700"))
+PRIMARY_BUDGET = float(os.environ.get("YOLO2_BENCH_PRIMARY_BUDGET",
+                                      "120" if FAST else "2400"))
 MEASURE_BUDGET = float(os.environ.get("YOLO2_BENCH_DEADLINE", "1200"))
 
 _deadline = None  # set once the backend is up
@@ -325,27 +333,36 @@ def main():
             "recovers.")
         sys.exit(2)
     log(f"device: {dev}")
-    _deadline = time.monotonic() + MEASURE_BUDGET
 
     # --- PRIMARY: device-resident int8 (bit-exact cpu semantics) ------------
-    # Bounded + one retry so a mid-probe wedge degrades to a late (but still
-    # emitted) line instead of a silent hang; if the primary truly cannot be
-    # measured there is no honest value to print — exit 2.
+    # Its own budget, NOT the secondaries' deadline: a cold-cache compile
+    # through the remote-compile relay has measured >900 s under congestion,
+    # and the primary is the one number the round must capture. Retries help
+    # because an abandoned attempt's daemon thread can still finish the
+    # server-side compile and populate the persistent XLA cache for the next
+    # attempt. If the primary truly cannot be measured there is no honest
+    # value to print — exit 2.
     prim = None
-    for attempt in (1, 2):
+    prim_start = time.monotonic()
+    attempt = 0
+    while prim is None:
+        attempt += 1
+        left = PRIMARY_BUDGET - (time.monotonic() - prim_start)
+        if left <= 30:
+            break
         try:
             prim = with_timeout(
                 lambda: device_resident_ms_img(
                     spec, qparams, "int8", int8_policy="cpu",
                     int8_chain=True, compute_dtype=jnp.bfloat16),
-                min(900.0, max(60.0, remaining() - 30)),
+                min(1800.0, left),
                 f"primary int8 probe (attempt {attempt})")
-            break
         except Exception as e:
             log(f"primary int8 probe attempt {attempt} failed: {e}")
     if prim is None:
         log("FATAL: primary probe unmeasurable; no honest metric to emit.")
         sys.exit(2)
+    _deadline = time.monotonic() + MEASURE_BUDGET  # secondaries' window
     ms, ms_min, ms_max = prim
     value = 1e3 / ms
     RESULT.update({
