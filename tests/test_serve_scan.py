@@ -48,14 +48,24 @@ def test_serve_scan_matches_per_frame(quantized):
 
 def test_serve_scan_uint8_source_resolution():
     """uint8 ring at SOURCE dims: per-frame device resize + /255 inside the
-    scan body, coordinates corrected back to source dims like __call__."""
+    scan body, coordinates corrected back to source dims like __call__.
+
+    The scan's claim is bit-identity with the b=1 PER-FRAME program (each
+    scan iteration IS that program). The b=N batched program is a different
+    XLA compilation — on TPU its resize/conv contractions differ by ULPs
+    from b=1 (observed <=2e-6 rel on random-weight nets), so batch-vs-scan
+    bit identity is asserted on the CPU backend only."""
+    import jax
     spec, pipe = _pipe(seed=4)
     rng = np.random.RandomState(1)
     frames = (rng.rand(3, 96, 80, 3) * 255).astype(np.uint8)
     scanned = pipe.serve_scan(frames.copy())
-    batch = pipe(frames)
-    for s, b in zip(scanned, batch):
-        _assert_identical(s, b)
+    for i in range(3):
+        _assert_identical(scanned[i], pipe(frames[i:i + 1])[0])
+    if jax.default_backend() == "cpu":
+        batch = pipe(frames)
+        for s, b in zip(scanned, batch):
+            _assert_identical(s, b)
 
 
 def test_serve_scan_autogrow():
@@ -112,6 +122,10 @@ def test_serve_scan_rejects_pp_and_mesh():
         with pytest.raises(ValueError, match="serve_scan"):
             pipe.serve_scan(np.zeros((2, spec.net.h, spec.net.w, 3),
                                      np.float32))
-    pp = DetectionPipeline(spec, params, pp_stages=2)
-    with pytest.raises(ValueError, match="serve_scan"):
-        pp.serve_scan(np.zeros((2, spec.net.h, spec.net.w, 3), np.float32))
+    if len(jax.devices()) >= 2:  # pp construction itself needs 2 devices
+        pp = DetectionPipeline(spec, params, pp_stages=2)
+        with pytest.raises(ValueError, match="serve_scan"):
+            pp.serve_scan(np.zeros((2, spec.net.h, spec.net.w, 3),
+                                   np.float32))
+    if len(jax.devices()) < 2:
+        pytest.skip("mesh/pp rejection paths need >=2 devices")

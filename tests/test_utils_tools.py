@@ -17,6 +17,18 @@ def test_draw_distribution(tmp_path):
     assert mult == get_multiplier(arr, 8)
 
 
+def test_draw_distribution_show_headless_noop(tmp_path, monkeypatch):
+    """show=True on a headless host (no DISPLAY) must silently fall back to
+    the PNG — the cv window branch (cvShowImage/cvWaitKey(0), reference
+    src/yolov2_forward_network_quantized.c:164-165) is display-gated."""
+    from yolo2_light_tpu.utils.distribution import draw_distribution
+    monkeypatch.delenv("DISPLAY", raising=False)
+    arr = np.linspace(-0.5, 0.5, 512, dtype=np.float32)
+    out = str(tmp_path / "dist.png")
+    mult = draw_distribution(arr, "t", out_path=out, show=True)
+    assert os.path.getsize(out) > 500 and mult > 0
+
+
 def test_draw_distribution_geometry(tmp_path):
     """Pin the drawn geometry to the reference formulas
     (src/yolov2_forward_network_quantized.c:96-169): bar j spans

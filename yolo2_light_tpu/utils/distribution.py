@@ -15,8 +15,15 @@ from ..quant import get_distribution, get_multiplier
 
 def draw_distribution(arr: np.ndarray, name: str | None = None,
                       out_path: str = "distribution.png",
-                      img_w: int = 1200, img_h: int = 800) -> float:
-    """Render the distribution histogram; returns the optimal multiplier."""
+                      img_w: int = 1200, img_h: int = 800,
+                      show: bool = False) -> float:
+    """Render the distribution histogram; returns the optimal multiplier.
+
+    With show=True (and OpenCV + a display available) additionally opens the
+    reference's interactive "Distribution" window and blocks on a keypress
+    (cvShowImage/cvWaitKey(0), src/yolov2_forward_network_quantized.c:164-165);
+    headless hosts fall back to the PNG silently.
+    """
     from PIL import Image, ImageDraw
     number_of_ranges = 32
     start_range = 1.0 / 65536
@@ -57,4 +64,14 @@ def draw_distribution(arr: np.ndarray, name: str | None = None,
     d.text((img_w // 2 - 100, img_h - 10), "X and Y are log2",
            fill=(32, 64, 128))
     img.save(out_path)
+    if show:
+        import os
+        if os.environ.get("DISPLAY") or os.name == "nt":
+            try:
+                import cv2
+                cv2.imshow("Distribution", np.asarray(img)[..., ::-1])
+                cv2.waitKey(0)
+                cv2.destroyAllWindows()
+            except Exception:
+                pass
     return multiplier
