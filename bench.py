@@ -50,8 +50,11 @@ Parsed fields (one JSON line, re-emitted as fields accrue):
   * serve_b1_ms_frame — chip-side per-frame cost of the in-jit b=1 serving
     ring (serve_scan: full ingest+forward+decode+device-NMS, dispatch and
     relay RTT cancelled by ring differencing — bench_serve.py, round 4).
-  * sections_skipped — probes skipped/aborted by the deadline machinery,
-    so a shortened line is self-describing.
+  * sections_skipped — probes never run because the deadline machinery left
+    too little window, so a shortened line is self-describing.
+  * sections_failed — probes that RAN and raised (compile error, wedge
+    timeout); kept separate from skips so a real regression can't be filed
+    as a relay-time artifact (round-5 review).
 
 Baseline: the reference publishes no GPU fps; its fastest in-code CPU number
 is the AVX2 INT8 conv pipeline at ~0.8 FPS/img
@@ -400,7 +403,7 @@ def main():
             emit()
         except Exception as e:
             log(f"device-resident turbo probe failed: {e}")
-            RESULT.setdefault("sections_skipped", []).append("turbo")
+            RESULT.setdefault("sections_failed", []).append("turbo")
 
     # --- parsed secondary: turbo_int8 (int8-materialized residual trunk) ----
     budget = section("turbo_int8")
@@ -424,7 +427,7 @@ def main():
             emit()
         except Exception as e:
             log(f"device-resident turbo_int8 probe failed: {e}")
-            RESULT.setdefault("sections_skipped", []).append("turbo_int8")
+            RESULT.setdefault("sections_failed", []).append("turbo_int8")
 
     # --- parsed secondary: bf16 device-resident -----------------------------
     budget = section("bf16")
@@ -445,7 +448,7 @@ def main():
             emit()
         except Exception as e:
             log(f"device-resident bf16 probe failed: {e}")
-            RESULT.setdefault("sections_skipped", []).append("bf16")
+            RESULT.setdefault("sections_failed", []).append("bf16")
 
     # --- parsed secondary: streamed frame->boxes, YUV420 uint8, depth 3 -----
     # camera-native planar YUV420 [B, H*3/2, W] halves the H2D bytes of RGB
@@ -481,7 +484,7 @@ def main():
             emit()
         except Exception as e:
             log(f"yuv streamed probe failed: {e}")
-            RESULT.setdefault("sections_skipped", []).append("yuv")
+            RESULT.setdefault("sections_failed", []).append("yuv")
 
     # --- parsed secondary: b=1 serving per-frame (serve_scan ring diff) -----
     # one dispatch runs a resident ring of N frames at b=1 semantics (full
@@ -514,7 +517,7 @@ def main():
             emit()
         except Exception as e:
             log(f"serve probe failed: {e}")
-            RESULT.setdefault("sections_skipped", []).append("serve")
+            RESULT.setdefault("sections_failed", []).append("serve")
 
     # --- stderr-only extras (comparability with rounds 1-2) -----------------
     if pipe is not None and section("rgb_extra", floor=120.0):

@@ -18,7 +18,7 @@ Usage (the fuzzer spawns this; x64 must be enabled before jax imports):
 
     python tests/fuzz_confirm.py <names> <cfg> <weights> <img> <thresh> \
         [-quantized]                                      # detect mode
-    python tests/fuzz_confirm.py --map <datacfg> <cfg> <weights> \
+    python tests/fuzz_confirm.py --map <datacfg> <cfg> <weights> <thresh> \
         [-quantized]                                      # map mode
 
 Detect mode stdout: the detect app's detection lines, each main line

@@ -235,6 +235,22 @@ def test_cli_stdin_loop(tmp_path):
     assert r.stdout.count("Enter Image Path:") >= 3
 
 
+def test_cli_turbo_int8_flag_gates(capsys):
+    """-turbo_int8 without -quantized, and -turbo combined with -turbo_int8,
+    must error loudly at the CLI (round-5 review): the former previously
+    surfaced as a deep build_forward ValueError, the latter silently picked
+    int8."""
+    from yolo2_light_tpu.apps.cli import _main
+    rc = _main(["detector", "test", "n.names", "c.cfg", "w.weights",
+                "-turbo_int8"])
+    assert rc == 1
+    assert "-turbo_int8 requires -quantized" in capsys.readouterr().err
+    rc = _main(["detector", "test", "n.names", "c.cfg", "w.weights",
+                "-quantized", "-turbo", "-turbo_int8"])
+    assert rc == 1
+    assert "mutually exclusive" in capsys.readouterr().err
+
+
 def test_parser_error_paths(tmp_path):
     import pytest as _pytest
 

@@ -103,6 +103,30 @@ def test_pp_boundary_bytes_analytic():
 
 @needs8
 @pytest.mark.slow
+@needs8
+def test_per_image_normalizes_by_device_batch():
+    """Mixed data x model mesh (round-5 review): per-device wire bytes must
+    normalize by the images THAT device processes (batch/n_data), not the
+    global batch. Each device runs the same per-image tp program on
+    (data=2, model=2, batch=2) as on (data=1, model=2, batch=1), so the
+    per-image volumes must agree; the old global-batch division halved the
+    mixed-mesh number."""
+    from yolo2_light_tpu.cfg import parse_network_cfg
+    from yolo2_light_tpu.parallel.commvol import measure_mesh_comm
+    from yolo2_light_tpu.parallel.mesh import make_mesh
+    from yolo2_light_tpu.weights import fuse_conv_batchnorm, random_params
+
+    spec = parse_network_cfg("tests/data/mini-yolo3.cfg", batch=1)
+    params = fuse_conv_batchnorm(spec, random_params(spec, seed=3))
+    _, tp_only = measure_mesh_comm(spec, params,
+                                   make_mesh(2, data=1, model=2), batch=1)
+    _, mixed = measure_mesh_comm(spec, params,
+                                 make_mesh(4, data=2, model=2), batch=2)
+    assert tp_only > 0 and mixed > 0
+    rel = abs(mixed - tp_only) / tp_only
+    assert rel < 0.3, (mixed, tp_only, rel)
+
+
 def test_yolov3_416_tp4_wire_volume():
     """The headline byte count behind SHARDING.md's projection table: the
     tp=4 sharded yolov3-416 program's per-image wire volume must stay in the

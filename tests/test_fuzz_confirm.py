@@ -91,6 +91,79 @@ def test_confirm_rejects_fabricated_off_by_one(weights, ours_stdout):
     assert "boundary" in msg or "not lowering noise" in msg, msg
 
 
+def _det(name, pct, x, y, w, h):
+    return (f"{name}: {pct}%\t(left_x: {x:4d}   top_y: {y:4d}   "
+            f"width: {w:4d}   height: {h:4d})")
+
+
+def test_classifier_subprecision_flips_uncapped():
+    """Degenerate exp-amplified nets print boxes ~1e5-1e6 counts tall; a
+    ±1 flip there is <=1e-5 RELATIVE and must not count against the 5%
+    print-precision residue cap (round-5 campaign, net seed 2148: 12/200
+    such flips, all sub-precision)."""
+    sys.path.insert(0, HERE)
+    from fuzz_cfgs import _ulp_class_only
+    oracle = [_det("aaa", 40 + i % 9, 3 + i, -50000 - 7 * i, 20, 100000 + 13 * i)
+              for i in range(100)]
+    ours = [l for l in oracle]
+    import re as _re
+    for i in range(0, 16, 2):    # 8 flips: > the 5% precision cap, within
+        #                          the 10% overall residue bound
+        ours[i] = _re.sub(r"height: (\s*\d+)",
+                          lambda m: f"height: {int(m.group(1)) + 1}", ours[i])
+    assert _ulp_class_only(oracle, ours)
+    # the same 8 flips at PRINT precision (small heights) must be capped
+    oracle_s = [_det("aaa", 40 + i % 9, 3 + i, 5 + i, 20, 30 + i)
+                for i in range(100)]
+    ours_s = [l for l in oracle_s]
+    for i in range(0, 16, 2):
+        ours_s[i] = _re.sub(r"height: (\s*\d+)",
+                            lambda m: f"height: {int(m.group(1)) + 1}",
+                            ours_s[i])
+    assert not _ulp_class_only(oracle_s, ours_s)
+
+
+def test_classifier_suppression_singleton():
+    """A line-count delta of one, where the singleton overlaps a same-class
+    det of >= its confidence (its would-be suppressor), is the documented
+    IoU-boundary suppression flip; without such a suppressor it must be
+    rejected (round-5 campaign, net seed 2166)."""
+    sys.path.insert(0, HERE)
+    from fuzz_cfgs import _ulp_class_only
+    base = [_det("bbb", 60 + i % 20, 10 * i, 40, 8, 9) for i in range(20)]
+    # ours keeps an extra det overlapping base[0] (same class, lower conf)
+    extra_ok = _det("bbb", 55, 2, 41, 8, 9)       # overlaps det at x=0..8
+    assert _ulp_class_only(base, base + [extra_ok])
+    assert _ulp_class_only(base + [extra_ok], base)   # either side
+    # an extra det overlapping NOTHING is a real bug, not suppression noise
+    extra_bad = _det("bbb", 55, 500, 500, 8, 9)
+    assert not _ulp_class_only(base, base + [extra_bad])
+    # two singletons blow the max(1, n/100) budget at n=20
+    assert not _ulp_class_only(base, base + [extra_ok, extra_ok])
+
+
+def test_classifier_checks_secondary_class_lines():
+    """A diff confined to secondary 'name: NN%' continuation lines was
+    previously invisible to the classifier (round-5 review): a corrupted
+    percentage must now reject."""
+    sys.path.insert(0, HERE)
+    from fuzz_cfgs import _ulp_class_only
+    box = _det("aaa", 80, 10, 10, 20, 20)
+    oracle = [box, "bbb: 23%", box, "ccc: 31%"]
+    ours_ok = [box, "bbb: 24%", box, "ccc: 31%"]      # ±1 print flip
+    ours_bad = [box, "bbb: 87%", box, "ccc: 31%"]     # corrupted pct
+    ours_missing = [box, box, "ccc: 31%"]             # dropped line
+    assert _ulp_class_only(oracle, oracle)
+    assert _ulp_class_only(oracle, ours_ok)
+    assert not _ulp_class_only(oracle, ours_bad)
+    # one missing extras line rides the singleton budget... but only with
+    # its det singleton absent too — here dets match so it's still a diff
+    # of exactly one extras line, within budget max(1, 2//100)=1
+    assert _ulp_class_only(oracle, ours_missing)
+    # two dropped extras blow the budget
+    assert not _ulp_class_only(oracle, [box, box])
+
+
 def test_boundary_dist():
     sys.path.insert(0, HERE)
     from fuzz_cfgs import _boundary_dist

@@ -169,9 +169,19 @@ def _main(argv=None) -> int:
     #                                   reference-exact video path; demo
     #                                   otherwise defaults to bf16 for speed)
     turbo = _find_flag(args, "-turbo")
-    if _find_flag(args, "-turbo_int8"):
+    turbo_int8 = _find_flag(args, "-turbo_int8")
+    if turbo and turbo_int8:
+        print("error: -turbo and -turbo_int8 are mutually exclusive (bf16 "
+              "vs int8 residual materialization)", file=sys.stderr)
+        return 1
+    if turbo_int8:
         turbo = "int8"   # the rung below -turbo: int8 residual trunk
     quantized = _find_flag(args, "-quantized")
+    if turbo_int8 and not quantized:
+        print("error: -turbo_int8 requires -quantized (the residual trunk "
+              "quantizes at the int8 convs' calibrated input multipliers)",
+              file=sys.stderr)
+        return 1
     letterbox = _find_flag(args, "-letterbox")
     thresh = _find_value(args, "-thresh", 0.25, float)
     iou_thresh = _find_value(args, "-iou_thresh", 0.5, float)

@@ -208,25 +208,12 @@ def run(names, cfgfile: str, weightfile, filename, thresh: float = 0.24,
         im_io.draw_detections(im, dets, names, thresh, classes)
         im_io.save_image_png(im, save_path)
         if not dont_show:
-            # show_image analog (main.c:234 + additionally.c:3236-3245):
-            # with OpenCV AND a display, open the "predictions" window and
-            # block on a keypress like cvWaitKey(0); otherwise fall through
-            # to the reference's non-OpenCV branch (stderr note + re-save)
-            shown = False
-            import os as _os
+            # show_image analog (main.c:234): interactive window when a
+            # display exists; otherwise fall through to the reference's
+            # non-OpenCV branch (stderr note + re-save)
             import sys
-            if _os.environ.get("DISPLAY") or _os.name == "nt":
-                try:
-                    import cv2
-                    bgr = np.clip(im[..., ::-1] * 255.0, 0, 255).astype(
-                        np.uint8)
-                    cv2.imshow("predictions", bgr)
-                    cv2.waitKey(0)
-                    cv2.destroyAllWindows()
-                    shown = True
-                except Exception:
-                    pass
-            if not shown:
+            rgb = np.clip(im * 255.0, 0, 255).astype(np.uint8)
+            if not im_io.show_image_window(rgb, "predictions"):
                 print(f"Not compiled with OpenCV, saving to {save_path}.png "
                       "instead", file=sys.stderr)
                 im_io.save_image_png(im, save_path)

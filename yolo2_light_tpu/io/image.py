@@ -115,6 +115,26 @@ def save_image_png(im: np.ndarray, path: str) -> None:
     Image.fromarray(arr).save(path if path.endswith(".png") else path + ".png")
 
 
+def show_image_window(rgb_u8: np.ndarray, title: str) -> bool:
+    """Display-gated interactive window (show_image/cvShowImage analog,
+    src/additionally.c:3236-3245): with OpenCV AND a display, open ``title``
+    and block on a keypress like cvWaitKey(0). Returns True iff shown, so
+    callers can fall through to their headless branch. One shared helper for
+    every window site (round-5 review: the block was duplicated in
+    apps/detect.py and utils/distribution.py and had already drifted)."""
+    import os
+    if not (os.environ.get("DISPLAY") or os.name == "nt"):
+        return False
+    try:
+        import cv2
+        cv2.imshow(title, np.ascontiguousarray(rgb_u8[..., ::-1]))
+        cv2.waitKey(0)
+        cv2.destroyAllWindows()
+        return True
+    except Exception:
+        return False
+
+
 def get_color(c: int, x: int, max_val: int) -> float:
     """Class color palette (reference: get_color, src/additionally.c:3247-3256)."""
     colors = np.array([[1, 0, 1], [0, 0, 1], [0, 1, 1],

@@ -138,8 +138,13 @@ def _trunk_targets(spec: ModelSpec, int8_set: set) -> dict:
             if isinstance(lc, ConvSpec):
                 if c in int8_set:
                     wanted.add(c)
-            elif isinstance(lc, (MaxpoolSpec, RouteSpec, ReorgSpec,
-                                 UpsampleSpec, ShortcutSpec)):
+            elif (isinstance(lc, (MaxpoolSpec, RouteSpec, ReorgSpec,
+                                  ShortcutSpec))
+                  or (isinstance(lc, UpsampleSpec) and lc.scale == 1.0)):
+                # non-unit upsample scale multiplies values AFTER this
+                # producer, so the consumer's calibrated multiplier does not
+                # apply to the pre-scale tensor — stop, keep float (same
+                # reasoning as the chain analysis above)
                 t = target_of(c)
                 if t is not None:
                     wanted.add(t)
@@ -322,6 +327,13 @@ def build_forward(spec: ModelSpec, mode: str = "fp32", *, int8_policy: str = "cp
         lo, hi = layer_range
         fused_runs = {st: r for st, r in fused_runs.items()
                       if st >= lo and r[-1][2] < hi}
+        # pipeline stages only hold params for [lo, hi): a trunk/chain target
+        # in a LATER stage has params=None here, so that tensor crosses the
+        # stage boundary as float instead of int8-materializing
+        trunk = {i: t for i, t in trunk.items()
+                 if t is not None and lo <= t < hi}
+        chain = {i: t for i, t in chain.items()
+                 if t is not None and lo <= t < hi}
     fused_skip = {idx for run in fused_runs.values()
                   for blk in run for idx in blk} - set(fused_runs)
 

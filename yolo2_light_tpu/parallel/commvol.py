@@ -120,7 +120,12 @@ def measure_mesh_comm(spec, params, mesh, *, mode="fp32", batch=1,
     n = 1
     for ax in ("data", "space", "model"):
         n *= mesh.shape.get(ax, 1)
-    per_image = wire_bytes(vols, n) / batch
+    # one device's compiled program processes batch/n_data images (the data
+    # axis shards the global batch), so ITS wire bytes normalize by those —
+    # dividing by the global batch would under-report per-image ICI traffic
+    # by the data-axis factor on mixed meshes (round-5 review)
+    images_per_device = max(1, batch // mesh.shape.get("data", 1))
+    per_image = wire_bytes(vols, n) / images_per_device
     return vols, per_image
 
 

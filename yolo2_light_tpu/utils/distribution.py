@@ -65,13 +65,6 @@ def draw_distribution(arr: np.ndarray, name: str | None = None,
            fill=(32, 64, 128))
     img.save(out_path)
     if show:
-        import os
-        if os.environ.get("DISPLAY") or os.name == "nt":
-            try:
-                import cv2
-                cv2.imshow("Distribution", np.asarray(img)[..., ::-1])
-                cv2.waitKey(0)
-                cv2.destroyAllWindows()
-            except Exception:
-                pass
+        from ..io.image import show_image_window
+        show_image_window(np.asarray(img), "Distribution")
     return multiplier
