@@ -34,9 +34,15 @@ OUT = os.environ.get("FUZZ_OUT", "/tmp/fuzz/gen")
 os.makedirs(OUT, exist_ok=True)
 
 
-def gen_cfg(rng, classes=3):
+def gen_cfg(rng, classes=3, calib_mode=False):
     """Random stack of conv/maxpool/route/upsample/shortcut/reorg ending in a
-    yolo or region head, with coherent dims."""
+    yolo or region head, with coherent dims.
+
+    ``calib_mode``: restrict to the layer set the REFERENCE's calibration
+    forward executes — conv/maxpool/route/reorg + region head, no xnor
+    (src/yolov2_forward_network_quantized.c's calibration path; anything
+    else segfaults the oracle's `detector calibrate`, which is why the
+    fixed fixture tests/data/mini-calib.cfg has the same restriction)."""
     w = h = int(rng.choice([32, 48, 64]))
     lines = [f"[net]\nbatch=1\nwidth={w}\nheight={h}\nchannels=3\n"
              "learning_rate=0.001\nmomentum=0.9\ndecay=0.0001\npolicy=constant\n"
@@ -49,7 +55,7 @@ def gen_cfg(rng, classes=3):
         nonlocal cur
         # random XNOR convs (never the first layer or a head-feeding linear
         # conv): exercises the bit path's -1 border rule and c%32 packing
-        if act == "leaky" and dims and rng.rand() < 0.25:
+        if act == "leaky" and dims and not calib_mode and rng.rand() < 0.25:
             extra += "xnor=1\n"
         if pad is None:
             pad = 1 if rng.rand() < 0.85 or size == 1 else 0
@@ -87,7 +93,7 @@ def gen_cfg(rng, classes=3):
         elif r < 0.7:
             # shortcut to a same-shaped earlier layer if one exists
             cands = [i for i, d in enumerate(dims[:-1]) if d == cur]
-            if not cands:
+            if not cands or calib_mode:
                 conv(16, 1, 1)
                 continue
             frm = int(rng.choice(cands))
@@ -107,7 +113,7 @@ def gen_cfg(rng, classes=3):
             c = sum(dims[i][2] for i in picks)
             cur = (dims[picks[0]][0], dims[picks[0]][1], c)
             dims.append(cur)
-        elif r < 0.93 and cur[0] <= 16:
+        elif r < 0.93 and cur[0] <= 16 and not calib_mode:
             lines.append("[upsample]\nstride=2\n")
             cur = (cur[0] * 2, cur[1] * 2, cur[2])
             dims.append(cur)
@@ -119,15 +125,38 @@ def gen_cfg(rng, classes=3):
             else:
                 conv(16, 3, 1)
 
-    # head
-    if rng.rand() < 0.6:
+    # head(s)
+    if not calib_mode and rng.rand() < 0.6:
         n_mask = 3
-        conv(n_mask * (classes + 5), 1, 1, act="linear", pad=1)
         anchors = ",".join(f"{rng.randint(5, 60)},{rng.randint(5, 60)}"
                            for _ in range(6))
-        lines.append(f"[yolo]\nmask = 0,1,2\nanchors = {anchors}\n"
-                     f"classes={classes}\nnum=6\njitter=.3\n"
-                     "ignore_thresh = .7\ntruth_thresh = 1\nrandom=1\n")
+
+        def yolo_head(mask):
+            conv(n_mask * (classes + 5), 1, 1, act="linear", pad=1)
+            lines.append(f"[yolo]\nmask = {mask}\nanchors = {anchors}\n"
+                         f"classes={classes}\nnum=6\njitter=.3\n"
+                         "ignore_thresh = .7\ntruth_thresh = 1\nrandom=1\n")
+            dims.append(None)   # the yolo layer occupies a layer index
+
+        yolo_head("0,1,2")
+        if rng.rand() < 0.4:
+            # second head, yolov3-style (yolov3.cfg routes back past its
+            # yolo layers): route to a random mid layer, optional upsample,
+            # 1-2 convs, then mask 3,4,5 on the SAME anchors — fuzzes
+            # multi-head decode concat order, per-head candidate counting,
+            # and the yolo-lookahead quantization disable on BOTH head convs
+            cands = [i for i, d in enumerate(dims) if d is not None]
+            k = int(rng.choice(cands))
+            lines.append(f"[route]\nlayers={k}\n")
+            cur = dims[k]
+            dims.append(cur)
+            if rng.rand() < 0.5 and cur[0] <= 16:
+                lines.append("[upsample]\nstride=2\n")
+                cur = (cur[0] * 2, cur[1] * 2, cur[2])
+                dims.append(cur)
+            for _ in range(int(rng.randint(1, 3))):
+                conv(int(rng.choice([8, 16, 24])), int(rng.choice([1, 3])), 1)
+            yolo_head("3,4,5")
     else:
         num = 3
         conv(num * (classes + 5), 1, 1, act="linear", pad=1)
@@ -592,6 +621,98 @@ def main(n_nets=20, seed0=0):
                         print(f"[{tag}] MAP STDOUT DIFF ({len(d)} lines):\n"
                               + "\n".join(d[:16]))
                         fails += 1
+        # every 7th net: the calibrate app (entropy/KL calibration) over the
+        # random topology — strict stream diffs + input_calibration.txt
+        # BYTE compare (host method is the bit-exact path; fixed-fixture
+        # byte parity lives in test_calibrate_parity.py)
+        if t % 7 == 3:
+            # dedicated restricted net (see gen_cfg calib_mode): the
+            # oracle's calibration forward only executes
+            # conv/maxpool/route/reorg/region
+            crng = np.random.RandomState(50000 + seed0 + t)
+            ccfg_text = gen_cfg(crng, calib_mode=True)
+            ccfg = os.path.join(OUT, f"calnet{t}.cfg")
+            with open(ccfg, "w") as f:
+                f.write(ccfg_text)
+            try:
+                cspec = parse_network_cfg(ccfg, batch=1)
+            except Exception as e:
+                print(f"[net{t} calibrate] OUR PARSER REJECTED: {e}")
+                fails += 1
+                continue
+            cwpath = os.path.join(OUT, f"calw{t}.weights")
+            save_weights(cspec, random_params(cspec, seed=1000 + t), cwpath)
+            cds = os.path.join(OUT, f"calds{t}")
+            os.makedirs(cds, exist_ok=True)
+            cpaths = []
+            # >= nthreads=4 images: same unbounded 4-thread loader setup as
+            # map (additionally.c:4972 indexes paths[i+t] with no m bound)
+            for i in range(int(rng.randint(4, 7))):
+                ch, cw = int(rng.randint(24, 100)), int(rng.randint(24, 100))
+                cp = os.path.join(cds, f"c{i}.png")
+                Image.fromarray((rng.rand(ch, cw, 3) * 255)
+                                .astype(np.uint8)).save(cp)
+                cpaths.append(cp)
+            cvalid = os.path.join(cds, "valid.txt")
+            with open(cvalid, "w") as f:
+                f.write("\n".join(cpaths) + "\n")
+            cdata = os.path.join(cds, "c.data")
+            with open(cdata, "w") as f:
+                f.write(f"classes=3\nvalid={cvalid}\nnames={names}\n")
+            cargs = ["detector", "calibrate", cdata, ccfg, cwpath,
+                     "-input_calibration", "2"]
+            odir = os.path.join(cds, "oracle")   # both write
+            udir = os.path.join(cds, "ours")     # input_calibration.txt to cwd
+            os.makedirs(odir, exist_ok=True)
+            os.makedirs(udir, exist_ok=True)
+            ro = subprocess.run([ORACLE] + cargs, capture_output=True,
+                                text=True, timeout=300, cwd=odir)
+            ru = subprocess.run([sys.executable, "-m", "yolo2_light_tpu"]
+                                + cargs + ["-calib_method", "host"],
+                                capture_output=True, text=True, timeout=300,
+                                cwd=udir,
+                                env={**os.environ,
+                                     "YOLO2_TPU_PLATFORM": "cpu",
+                                     "PYTHONPATH": "/root/repo"})
+            tag = f"net{t} calibrate"
+            if ro.returncode != 0:
+                print(f"[{tag}] oracle rc={ro.returncode}: "
+                      f"{ro.stderr[-120:]!r} (skipping)")
+            elif ru.returncode != 0:
+                print(f"[{tag}] OURS rc={ru.returncode}: "
+                      f"{ru.stderr[-200:]!r}")
+                fails += 1
+            else:
+                from util_parity import clean_stream
+                if (clean_stream(ru.stderr, ours=True)
+                        != clean_stream(ro.stderr)):
+                    import difflib
+                    d = list(difflib.unified_diff(
+                        clean_stream(ro.stderr),
+                        clean_stream(ru.stderr, ours=True),
+                        "oracle", "ours", lineterm=""))
+                    print(f"[{tag}] STDERR DIFF:\n" + "\n".join(d[:12]))
+                    fails += 1
+                strip_t = lambda s: [l for l in s.splitlines()
+                                     if "Predicted in" not in l]
+                if strip_t(ru.stdout) != strip_t(ro.stdout):
+                    import difflib
+                    d = list(difflib.unified_diff(strip_t(ro.stdout),
+                                                  strip_t(ru.stdout),
+                                                  "oracle", "ours",
+                                                  lineterm=""))
+                    print(f"[{tag}] CALIB STDOUT DIFF ({len(d)} lines):\n"
+                          + "\n".join(d[:12]))
+                    fails += 1
+                fo = os.path.join(odir, "input_calibration.txt")
+                fu = os.path.join(udir, "input_calibration.txt")
+                co = open(fo, "rb").read() if os.path.exists(fo) else None
+                cu = open(fu, "rb").read() if os.path.exists(fu) else None
+                if co != cu:
+                    print(f"[{tag}] CALIB FILE DIFF:\noracle: {co!r:.200}\n"
+                          f"ours:   {cu!r:.200}")
+                    fails += 1
+
     print(f"done: {n_nets} nets, {fails} failures")
 
 
