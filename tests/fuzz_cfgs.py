@@ -170,7 +170,8 @@ def gen_cfg(rng, classes=3, calib_mode=False):
 
 
 
-def _ulp_class_only(oracle_lines, ours_lines, residue_out=None):
+def _ulp_class_only(oracle_lines, ours_lines, residue_out=None,
+                    thresh_pct=30):
     """True iff the text diff is explained by the irreducible float-noise
     classes (sub-ULP XLA-vs-libm sigmoid/FMA differences):
 
@@ -194,13 +195,15 @@ def _ulp_class_only(oracle_lines, ours_lines, residue_out=None):
 
     Secondary class lines ("name: NN%", no box) carry the same
     %-print-boundary noise model and must pair name-for-name within 1%
-    (previously ignored entirely — round-5 review); unpaired extras ride
-    the suppression-singleton budget (a flipped det prints its secondary
-    classes too).
+    (previously ignored entirely — round-5 review); an unpaired extras line
+    needs its pct at the detect threshold (``thresh_pct``, a
+    threshold-existence flip) or an accepted suppression singleton to ride.
 
     ``residue_out`` (list): receives ``(oracle_det, ours_det, kind)`` pairs
-    (for "suppression", the singleton twice) — the f64 confirming pass
-    (_confirm_f64) checks boundary adjacency on the "near" ones."""
+    (for "suppression": ``(singleton, side, kind)`` with side in
+    {"oracle","ours"}) — the f64 confirming pass (_confirm_f64) checks
+    boundary adjacency on the "near" ones and nms-threshold adjacency of
+    the raw IoU on ours-side "suppression" ones."""
     from collections import Counter
     from util_parity import parse_detection_lines
     a, ea = parse_detection_lines("\n".join(oracle_lines))
@@ -258,37 +261,70 @@ def _ulp_class_only(oracle_lines, ours_lines, residue_out=None):
         return False
     for side, s in singles:
         pool = a if side == "oracle" else b
-        skipped_self = False
+        # the would-be suppressor must be a DIFFERENT same-class det of
+        # >= confidence with real overlap (printed-int IoU > 0.05); an
+        # exact-duplicate line can never be a threshold-boundary flip —
+        # IoU 1.0 is nowhere near the nms threshold — so e == s never
+        # qualifies (round-5 review hardening). The f64 confirming pass
+        # additionally requires the RAW IoU to sit AT the nms threshold.
         for e in pool:
-            if e == s and not skipped_self:
-                skipped_self = True
+            if e == s:
                 continue
             if (e[0] == s[0] and e[1] >= s[1] - 1
-                    and boxes_overlap(s, e, thr=0.0)):
+                    and boxes_overlap(s, e, thr=0.05)):
                 break
         else:
             return False                  # no would-be suppressor in sight
         if residue_out is not None:
-            residue_out.append((s, s, "suppression"))
+            residue_out.append((s, side, "suppression"))
 
-    # secondary class lines
+    # secondary class lines: pair name-for-name within 1%. An UNPAIRED line
+    # is acceptable only as (i) a detection-threshold boundary flip — the
+    # class prob sits at the print/detect threshold (|pct-thresh_pct| <= 1),
+    # the one f32-noise mechanism that changes an extras line's EXISTENCE
+    # without a det-count change — or (ii) a ride-along of an accepted
+    # suppression-flip det (<= 2 per singleton: its other classes above
+    # thresh print with it). A dropped/garbled extras line with matched
+    # dets and no such linkage is a real bug (round-5 review).
     cea, ceb = Counter(ea), Counter(eb)
     rea = sorted((cea - ceb).elements())
     reb = list(sorted((ceb - cea).elements()))
     paired = 0
-    unpaired = 0
+    leftovers = []
     for d in rea:
         hit = next((i for i, e in enumerate(reb)
                     if e[0] == d[0] and abs(e[1] - d[1]) <= 1), None)
         if hit is None:
-            unpaired += 1
+            leftovers.append(d)
             continue
         reb.pop(hit)
         paired += 1
-    unpaired += len(reb)      # ours-side leftovers
-    if unpaired > singles_budget or paired > max(2, len(ea) // 20):
+    leftovers += reb
+    ride_budget = 2 * len(singles)
+    for d in leftovers:
+        if abs(d[1] - thresh_pct) <= 1:
+            continue
+        if ride_budget > 0:
+            ride_budget -= 1
+            continue
+        return False
+    if paired > max(2, len(ea) // 20):
         return False
     return True
+
+
+def _iou_ltwh(a, b) -> float:
+    """IoU of two (left, top, w, h) float boxes (format-invariant vs the
+    reference's center-format box_iou, box.c:124-134)."""
+    ax, ay, aw, ah = a
+    bx, by, bw, bh = b
+    iw = min(ax + aw, bx + bw) - max(ax, bx)
+    ih = min(ay + ah, by + bh) - max(ay, by)
+    if iw <= 0 or ih <= 0:
+        return 0.0
+    inter = iw * ih
+    union = aw * ah + bw * bh - inter
+    return inter / union if union > 0 else 0.0
 
 
 def _boundary_dist(v: float) -> float:
@@ -351,10 +387,39 @@ def _confirm_f64(names, cfg, wpath, img, thresh, quantized, oracle_lines):
                                f"is {_boundary_dist(v):.4f} from its print "
                                f"boundary (tol {tol:.4f}) — not lowering "
                                "noise")
+    nms_thr = 0.2 if quantized else 0.4   # detect-app defaults (CLI parity)
+    for d, e, kind in residue:
+        if kind != "suppression" or e != "ours":
+            # oracle-side singletons: the f64 run suppressed the det, so its
+            # raw box never prints — only the class-level gate (above) and
+            # the print-side suppressor requirement apply
+            continue
+        rl = raws.get(d)
+        if not rl:
+            return False, f"no raw values for f64 suppression singleton {d}"
+        sp, sbox = rl[0][0], rl[0][1:5]
+        ok_s = False
+        for det2, rl2 in raws.items():
+            if det2 == d or det2[0] != d[0]:
+                continue
+            for r2 in rl2:
+                if r2[0] < sp - 1e-6:
+                    continue              # a suppressor has >= prob
+                if abs(_iou_ltwh(sbox, r2[1:5]) - nms_thr) <= 0.02:
+                    ok_s = True           # the IoU sits AT the threshold —
+                    break                 # a knife-edge flip, not a bug
+            if ok_s:
+                break
+        if not ok_s:
+            return False, (f"suppression singleton {d}: no same-class "
+                           f">=prob det with raw f64 IoU within 0.02 of "
+                           f"the nms threshold {nms_thr} — an extra "
+                           "survivor this far from the boundary is a bug")
     n_near = sum(1 for *_, k in residue if k == "near")
+    n_sup = sum(1 for *_, k in residue if k == "suppression")
     return True, (f"f64-confirmed: {len(residue)} residue pairs "
-                  f"({n_near} boundary-adjacent, "
-                  f"{len(residue) - n_near} tie-class)")
+                  f"({n_near} boundary-adjacent, {n_sup} suppression-flip, "
+                  f"{len(residue) - n_near - n_sup} tie-class)")
 
 
 def _map_noise_only(oracle_lines, ours_lines, float_lim=0.02):

@@ -83,8 +83,27 @@ def test_extractor_parses_async_start_done_once():
   %ar = f32[16]{0} all-reduce(f32[16]{0} %q), to_apply=%add
 """
     vols = collective_volumes(text)
-    assert vols["all-gather"] == {"count": 1, "result_bytes": 8 * 8 * 4}
-    assert vols["all-reduce"] == {"count": 1, "result_bytes": 16 * 4}
+    assert vols["all-gather"] == {"count": 1, "result_bytes": 8 * 8 * 4,
+                                  "group_bytes": {None: 8 * 8 * 4}}
+    assert vols["all-reduce"] == {"count": 1, "result_bytes": 16 * 4,
+                                  "group_bytes": {None: 16 * 4}}
+
+
+def test_extractor_group_sizes_and_ring_factors():
+    """Ring factors must use each collective's OWN participant count (its
+    replica_groups), not the mesh size (round-5 review): a model-axis
+    all-gather on a data x model mesh runs over the model subgroup."""
+    text = """
+  %a = f32[8,8]{1,0} all-gather(f32[2,8]{1,0} %p), replica_groups={{0,1},{2,3}}, dimensions={0}
+  %b = f32[16]{0} all-reduce(f32[16]{0} %q), replica_groups=[2,4]<=[8], to_apply=%add
+  %c = f32[16]{0} all-reduce(f32[16]{0} %r), replica_groups={}, to_apply=%add
+"""
+    vols = collective_volumes(text)
+    assert vols["all-gather"]["group_bytes"] == {2: 256}
+    assert vols["all-reduce"]["group_bytes"] == {4: 64, None: 64}
+    w = wire_bytes(vols, 8)
+    expect = 256 * (1 / 2) + 2 * 64 * (3 / 4) + 2 * 64 * (7 / 8)
+    assert abs(w - expect) < 1e-9, (w, expect)
 
 
 def test_pp_boundary_bytes_analytic():
@@ -101,8 +120,6 @@ def test_pp_boundary_bytes_analytic():
         assert 0 < v < 64 << 20, vols
 
 
-@needs8
-@pytest.mark.slow
 @needs8
 def test_per_image_normalizes_by_device_batch():
     """Mixed data x model mesh (round-5 review): per-device wire bytes must
@@ -127,6 +144,8 @@ def test_per_image_normalizes_by_device_batch():
     assert rel < 0.3, (mixed, tp_only, rel)
 
 
+@needs8
+@pytest.mark.slow
 def test_yolov3_416_tp4_wire_volume():
     """The headline byte count behind SHARDING.md's projection table: the
     tp=4 sharded yolov3-416 program's per-image wire volume must stay in the

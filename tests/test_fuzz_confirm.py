@@ -138,6 +138,10 @@ def test_classifier_suppression_singleton():
     # an extra det overlapping NOTHING is a real bug, not suppression noise
     extra_bad = _det("bbb", 55, 500, 500, 8, 9)
     assert not _ulp_class_only(base, base + [extra_bad])
+    # an EXACT DUPLICATE print is a total NMS failure, never a threshold
+    # flip (IoU 1.0 is nowhere near the nms threshold) — e == s must not
+    # self-match as the suppressor (round-5 review hardening)
+    assert not _ulp_class_only(base, base + [base[5]])
     # two singletons blow the max(1, n/100) budget at n=20
     assert not _ulp_class_only(base, base + [extra_ok, extra_ok])
 
@@ -152,15 +156,16 @@ def test_classifier_checks_secondary_class_lines():
     oracle = [box, "bbb: 23%", box, "ccc: 31%"]
     ours_ok = [box, "bbb: 24%", box, "ccc: 31%"]      # ±1 print flip
     ours_bad = [box, "bbb: 87%", box, "ccc: 31%"]     # corrupted pct
-    ours_missing = [box, box, "ccc: 31%"]             # dropped line
     assert _ulp_class_only(oracle, oracle)
     assert _ulp_class_only(oracle, ours_ok)
     assert not _ulp_class_only(oracle, ours_bad)
-    # one missing extras line rides the singleton budget... but only with
-    # its det singleton absent too — here dets match so it's still a diff
-    # of exactly one extras line, within budget max(1, 2//100)=1
-    assert _ulp_class_only(oracle, ours_missing)
-    # two dropped extras blow the budget
+    # a dropped extras line with MATCHED dets is a real bug unless its pct
+    # sits at the detect threshold (existence flips with the class prob) —
+    # 23% is far from thresh 30% -> reject; 31% is adjacent -> accept
+    assert not _ulp_class_only(oracle, [box, box, "ccc: 31%"])
+    assert _ulp_class_only(oracle, [box, "bbb: 23%", box])
+    # threshold-existence flips never stack without bound... but each must
+    # be adjacent: dropping BOTH lines still fails on the 23% one
     assert not _ulp_class_only(oracle, [box, box])
 
 

@@ -58,12 +58,36 @@ def _array_bytes(dt: str, dims: str) -> int:
     return n * _DTYPE_BYTES[dt]
 
 
+_GROUPS_EXPLICIT_RE = re.compile(r"replica_groups=\{\{([^}]*)\}")
+_GROUPS_IOTA_RE = re.compile(r"replica_groups=\[(\d+),(\d+)\]<=")
+
+
+def _group_size(line: str):
+    """Participant count of the collective on this HLO line, from its
+    replica_groups — explicit ``{{0,1},{2,3}}`` (first group's element
+    count) or iota ``[G,S]<=[N]`` (S devices per group). None when absent
+    or empty (= all devices)."""
+    m = _GROUPS_IOTA_RE.search(line)
+    if m:
+        return int(m.group(2))
+    m = _GROUPS_EXPLICIT_RE.search(line)
+    if m and m.group(1).strip():
+        return len(m.group(1).split(","))
+    return None
+
+
 def collective_volumes(hlo_text: str) -> dict:
-    """Per-op-class {op: {"count": int, "result_bytes": int}} from the SPMD
-    (per-device) HLO text. Async pairs are counted once: the ``-start`` op
-    carries the result type (last array in its result tuple); ``-done`` ops
-    are skipped. Bytes are per device per program execution."""
-    out: dict = defaultdict(lambda: {"count": 0, "result_bytes": 0})
+    """Per-op-class {op: {"count": int, "result_bytes": int,
+    "group_bytes": {group_size: bytes}}} from the SPMD (per-device) HLO
+    text. Async pairs are counted once: the ``-start`` op carries the result
+    type (last array in its result tuple); ``-done`` ops are skipped. Bytes
+    are per device per program execution. ``group_bytes`` buckets by the
+    collective's OWN participant count (its replica_groups): on a mixed
+    data x model mesh a model-axis all-gather runs over the model subgroup,
+    not the whole mesh — ring factors must use the subgroup size (round-5
+    review; key None = no/empty replica_groups = all devices)."""
+    out: dict = defaultdict(lambda: {"count": 0, "result_bytes": 0,
+                                     "group_bytes": defaultdict(int)})
     for line in hlo_text.splitlines():
         m = _OP_RE.search(line)
         if not m or m.group("suffix") == "-done":
@@ -80,25 +104,34 @@ def collective_volumes(hlo_text: str) -> dict:
         rec = out[m.group("op")]
         rec["count"] += 1
         rec["result_bytes"] += nbytes
-    return dict(out)
+        rec["group_bytes"][_group_size(line)] += nbytes
+    return {op: {**rec, "group_bytes": dict(rec["group_bytes"])}
+            for op, rec in out.items()}
 
 
 def wire_bytes(volumes: dict, n: int) -> float:
     """Per-device ICI traffic (bytes received per program execution) from the
-    result-byte inventory, with the ring factors from the module docstring."""
+    result-byte inventory, with the ring factors from the module docstring.
+    Each collective's ring factor uses ITS participant count (the
+    replica_groups bucket), falling back to ``n`` for buckets without one —
+    on a mixed mesh the model-axis subgroup is smaller than the mesh."""
     total = 0.0
     for op, rec in volumes.items():
-        v = rec["result_bytes"]
-        if op == "all-gather":
-            total += v * (n - 1) / n
-        elif op == "reduce-scatter":
-            total += v * (n - 1)
-        elif op == "all-reduce":
-            total += 2 * v * (n - 1) / n
-        elif op == "all-to-all":
-            total += v * (n - 1) / n
-        elif op == "collective-permute":
-            total += v
+        buckets = rec.get("group_bytes") or {None: rec["result_bytes"]}
+        for g, v in buckets.items():
+            g = g or n
+            if g <= 1 and op != "collective-permute":
+                continue          # single-participant group: nothing crosses
+            if op == "all-gather":
+                total += v * (g - 1) / g
+            elif op == "reduce-scatter":
+                total += v * (g - 1)
+            elif op == "all-reduce":
+                total += 2 * v * (g - 1) / g
+            elif op == "all-to-all":
+                total += v * (g - 1) / g
+            elif op == "collective-permute":
+                total += v
     return total
 
 
