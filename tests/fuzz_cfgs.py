@@ -176,7 +176,9 @@ def _ulp_class_only(oracle_lines, ours_lines, residue_out=None,
     classes (sub-ULP XLA-vs-libm sigmoid/FMA differences):
 
     * "near" pairs — same class within 1% confidence and 1 count per
-      coordinate (print-boundary rounding; near-equal left-edge reordering).
+      coordinate, or <= 1e-5 RELATIVE per coordinate at exp-amplified
+      magnitudes (print-boundary rounding; near-equal left-edge
+      reordering).
       Pairs whose every differing field sits at |value| >= 1e4 are
       SUB-PRECISION (a 1-count flip there is <= 1e-4 relative — far below
       print precision; degenerate exp-amplified nets produce boxes ~1e6
@@ -230,16 +232,29 @@ def _ulp_class_only(oracle_lines, ours_lines, residue_out=None,
     ca, cb = Counter(a), Counter(b)
     ra = sorted((ca - cb).elements())
     rb = sorted((cb - ca).elements())
-    if max(len(ra), len(rb)) > min(300, max(3, len(a) // 10)):
-        return False                      # too much residue to be noise
+    # computational guard only (O(ra*rb) pairing): the real gating is the
+    # per-pair field bounds, the 5% print-precision cap, and the 1%
+    # singleton budget below — an exp-degenerate net legitimately flips
+    # 10-20% of its huge fields (each is ~1e-6-relative noise), so a
+    # relative early cap here would reject plausible noise wholesale
+    if max(len(ra), len(rb)) > 400:
+        return False
     rem = list(rb)
     singles = []                          # unpaired residue, either side
     n_precise = 0                         # paired residue at print precision
+    n_tie = 0                             # nms sort-order tie pairs
     for d in ra:
         hit = kind = None
         for i, e in enumerate(rem):
+            # per-coordinate: 1 count at print precision, or <= 1e-5
+            # RELATIVE at exp-amplified magnitudes (a ~1e-6-relative ULP
+            # divergence on a 1.4e6-count box moves the printed int by
+            # several counts — still orders of magnitude below any real
+            # formula bug, which is % off)
             near = (e[0] == d[0] and abs(e[1] - d[1]) <= 1
-                    and all(abs(e[j] - d[j]) <= 1 for j in range(2, 6)))
+                    and all(abs(e[j] - d[j])
+                            <= max(1, 1e-5 * max(abs(e[j]), abs(d[j])))
+                            for j in range(2, 6)))
             nms_tie = (e[0] == d[0] and abs(e[1] - d[1]) <= 1
                        and boxes_overlap(d, e))
             if near or nms_tie:
@@ -249,13 +264,21 @@ def _ulp_class_only(oracle_lines, ours_lines, residue_out=None,
             singles.append(("oracle", d))
             continue
         e = rem.pop(hit)
-        if any(e[j] != d[j] and max(abs(e[j]), abs(d[j])) < 1e4
-               for j in range(1, 6)):
+        if kind == "nms_tie":
+            n_tie += 1
+        elif any(e[j] != d[j] and max(abs(e[j]), abs(d[j])) < 1e4
+                 for j in range(1, 6)):
             n_precise += 1
         if residue_out is not None:
             residue_out.append((d, e, kind))
     singles += [("ours", e) for e in rem]
     if n_precise > max(2, len(a) // 20):
+        return False
+    # tie flips are RARE (2 in 52k comparisons on the tie-degenerate map
+    # net): a systematic coordinate error also pairs as same-class
+    # equal-conf heavy-overlap, so an uncapped tie class would mask it
+    # (round-5 review follow-up)
+    if n_tie > max(2, len(a) // 50):
         return False
     if len(singles) > singles_budget:
         return False

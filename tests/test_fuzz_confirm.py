@@ -123,6 +123,29 @@ def test_classifier_subprecision_flips_uncapped():
     assert not _ulp_class_only(oracle_s, ours_s)
 
 
+def test_classifier_relative_bound_and_tie_cap():
+    """At exp-amplified magnitudes the per-coordinate bound is RELATIVE
+    (<=1e-5: a 1.4e6-count box legitimately moves several printed counts on
+    ~1e-6 ULP noise), but a 0.1%-relative systematic error must reject —
+    and must not escape through the nms_tie class (same-class equal-conf
+    heavy-overlap pairs are capped at 2%: real tie flips are rare)."""
+    sys.path.insert(0, HERE)
+    from fuzz_cfgs import _ulp_class_only
+    oracle = [_det("aaa", 40 + i % 9, 3 + i, -700000 - 9 * i, 20,
+                   1400000 + 13 * i) for i in range(100)]
+    drift = [l for l in oracle]
+    import re as _re
+    for i in range(0, 16, 2):    # 8 flips of 2-4 counts at ~1.4e6
+        drift[i] = _re.sub(r"height: (\s*\d+)",
+                           lambda m: f"height: {int(m.group(1)) + 4}",
+                           drift[i])
+    assert _ulp_class_only(oracle, drift)
+    bug = [_re.sub(r"height: (\s*\d+)",
+                   lambda m: f"height: {int(int(m.group(1)) * 1.001)}", l)
+           for l in oracle]
+    assert not _ulp_class_only(oracle, bug)
+
+
 def test_classifier_suppression_singleton():
     """A line-count delta of one, where the singleton overlaps a same-class
     det of >= its confidence (its would-be suppressor), is the documented
