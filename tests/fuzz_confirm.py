@@ -44,6 +44,45 @@ import numpy as np  # noqa: E402
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _min_quant_boundary_rel(spec, params, img) -> float:
+    """Quantized-path mechanism evidence: the minimum RELATIVE distance of
+    any int8 conv input element's ``x * input_quant_multipler`` to its
+    trunc-toward-zero integer boundary, computed at f64. When this is at
+    f32-ULP scale (<= ~1e-6), two correct f32 implementations can land the
+    element in DIFFERENT int8 bins (the preceding float-side conv differs by
+    ULPs), and the integer divergence propagates to the printed fields —
+    irreducible cross-implementation noise specific to -quantized
+    (confirmed on campaign net seed 2166: an element at 96.000004, 4e-8
+    from its boundary, moved one conf print by 1%)."""
+    import jax.numpy as jnp
+
+    from yolo2_light_tpu.io.image import load_image, resize_image, to_batch
+    from yolo2_light_tpu.models.network import (_int8_layer_set,
+                                                build_forward,
+                                                params_to_device)
+    from yolo2_light_tpu.cfg import ConvSpec
+
+    f = build_forward(spec, "int8", int8_policy="cpu",
+                      capture_conv_inputs=True)
+    im = load_image(img)
+    x = to_batch(resize_image(im, spec.net.w, spec.net.h))
+    _, aux = f(params_to_device(params), jnp.asarray(x, jnp.float64))
+    iset = _int8_layer_set(spec, "cpu")
+    convs = [l for l in spec.layers if isinstance(l, ConvSpec)]
+    best = float("inf")
+    for l, xin in zip(convs, aux["conv_inputs"]):
+        if l.index not in iset:
+            continue
+        v = np.asarray(xin, np.float64) * float(
+            params[l.index]["input_quant_multipler"])
+        frac = np.abs(v - np.trunc(v))
+        d = np.minimum(frac, 1.0 - frac)
+        nz = np.abs(v) > 1e-3     # near-zero elements quantize to 0 either way
+        rel = np.where(nz, d / np.maximum(np.abs(v), 1e-12), np.inf)
+        best = min(best, float(rel.min()))
+    return best
+
+
 def main(names_file, cfg, weights, img, thresh, quantized):
     import jax.numpy as jnp
 
@@ -57,6 +96,8 @@ def main(names_file, cfg, weights, img, thresh, quantized):
     pred = Predictor(spec, params, mode, compute_dtype=jnp.float64)
     nms = 0.2 if quantized else 0.4   # reference: src/main.c:174,213
     dets, im, _ = detect_image(pred, spec, img, thresh, nms, names)
+    if quantized:
+        print(f"#QBOUND {_min_quant_boundary_rel(spec, params, img)!r}")
     assert dets.n == 0 or dets.prob.dtype == np.float64, dets.prob.dtype
     dets = in_reference_order(dets)
     im_w, im_h = im.shape[1], im.shape[0]
